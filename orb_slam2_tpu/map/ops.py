@@ -1,0 +1,232 @@
+"""Map mutation primitives: the pure-functional replacements of the
+reference's KeyFrame/MapPoint lifecycle methods.
+
+Every change to the keypoint->point association goes through `add_obs` /
+`remove_obs` / `cull_points` / `replace_points`, which keep `kf_obs` (the
+source of truth) and the capped per-point observer mirror `mp_obs_kf/kp`
+consistent — the invariant the reference maintains manually across
+`MapPoint::AddObservation/EraseObservation/SetBadFlag/Replace`
+(MapPoint.cc:98-215).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from orb_slam2_tpu.map.state import MapState
+from orb_slam2_tpu.matching import hamming
+
+
+# ---------------------------------------------------------------------------
+# allocation
+# ---------------------------------------------------------------------------
+
+def alloc_points(state: MapState, want: jnp.ndarray, pos: jnp.ndarray,
+                 desc: jnp.ndarray, first_kf) -> tuple:
+    """Allocate map points for rows where want[i] (append-only slab).
+
+    want: [R] bool, pos: [R, 3], desc: [R, 32].
+    Returns (state, pids [R] i32 with -1 where not allocated).
+    """
+    M = state.mp_pos.shape[0]
+    offs = jnp.cumsum(want.astype(jnp.int32)) - 1
+    pids = jnp.where(want, state.next_mp + offs, -1)
+    ok = want & (pids < M)
+    pids = jnp.where(ok, pids, -1)
+    slot = jnp.where(ok, pids, M)  # scatter-to-void for non-allocated
+    pos_p = jnp.concatenate([state.mp_pos, jnp.zeros((1, 3), state.mp_pos.dtype)])
+    desc_p = jnp.concatenate([state.mp_desc, jnp.zeros((1, 32), jnp.uint8)])
+    valid_p = jnp.concatenate([state.mp_valid, jnp.zeros((1,), bool)])
+    first_p = jnp.concatenate([state.mp_first_kf, jnp.full((1,), -1, jnp.int32)])
+    pos_p = pos_p.at[slot].set(pos)
+    desc_p = desc_p.at[slot].set(desc)
+    valid_p = valid_p.at[slot].set(True)
+    first_p = first_p.at[slot].set(jnp.asarray(first_kf, jnp.int32))
+    n_new = jnp.sum(ok.astype(jnp.int32))
+    state = state._replace(
+        mp_pos=pos_p[:M], mp_desc=desc_p[:M], mp_valid=valid_p[:M],
+        mp_first_kf=first_p[:M],
+        mp_visible=state.mp_visible.at[jnp.where(ok, pids, M - 1)].set(
+            jnp.where(ok, 1, state.mp_visible[M - 1])),
+        mp_found=state.mp_found.at[jnp.where(ok, pids, M - 1)].set(
+            jnp.where(ok, 1, state.mp_found[M - 1])),
+        mp_replaced=state.mp_replaced.at[jnp.clip(pids, 0, M - 1)].set(
+            jnp.where(ok, -1, state.mp_replaced[jnp.clip(pids, 0, M - 1)])),
+        next_mp=state.next_mp + n_new)
+    return state, pids
+
+
+# ---------------------------------------------------------------------------
+# observations
+# ---------------------------------------------------------------------------
+
+def add_obs(state: MapState, kf_id, kp_idx: jnp.ndarray,
+            pids: jnp.ndarray) -> MapState:
+    """Register observations (kf_id, kp_idx[i]) -> pids[i] for pids >= 0.
+
+    kp_idx, pids: [R].  Each point may appear at most once per call (one KF).
+    """
+    M, D = state.mp_obs_kf.shape
+    ok = pids >= 0
+    # kf_obs
+    kf_obs = state.kf_obs.at[kf_id, jnp.where(ok, kp_idx, state.kf_obs.shape[1] - 1)
+                             ].set(jnp.where(ok, pids,
+                                             state.kf_obs[kf_id, state.kf_obs.shape[1] - 1]))
+    # safer: two-step with explicit mask
+    kf_row = state.kf_obs[kf_id]
+    kf_row = kf_row.at[jnp.clip(kp_idx, 0, None)].set(
+        jnp.where(ok, pids, kf_row[jnp.clip(kp_idx, 0, None)]))
+    kf_obs = state.kf_obs.at[kf_id].set(kf_row)
+    # mirror: first free slot per point
+    free = state.mp_obs_kf < 0                       # [M, D]
+    first_free = jnp.argmax(free, axis=1)            # [M]
+    has_free = jnp.any(free, axis=1)
+    p = jnp.where(ok, pids, M)
+    slot = first_free[jnp.clip(p, 0, M - 1)]
+    write = ok & has_free[jnp.clip(p, 0, M - 1)]
+    obs_kf_p = jnp.concatenate([state.mp_obs_kf,
+                                jnp.full((1, D), -1, jnp.int32)])
+    obs_kp_p = jnp.concatenate([state.mp_obs_kp,
+                                jnp.full((1, D), -1, jnp.int32)])
+    pr = jnp.where(write, p, M)
+    obs_kf_p = obs_kf_p.at[pr, slot].set(
+        jnp.where(write, jnp.asarray(kf_id, jnp.int32), -1))
+    obs_kp_p = obs_kp_p.at[pr, slot].set(jnp.where(write, kp_idx, -1))
+    return state._replace(kf_obs=kf_obs, mp_obs_kf=obs_kf_p[:M],
+                          mp_obs_kp=obs_kp_p[:M])
+
+
+def remove_obs(state: MapState, kf_id, kp_mask: jnp.ndarray) -> MapState:
+    """Remove the observations of keyframe kf_id at keypoints where kp_mask
+    (e.g. BA outliers, reference Optimizer.cc:711-757)."""
+    M, D = state.mp_obs_kf.shape
+    row = state.kf_obs[kf_id]
+    pids = jnp.where(kp_mask, row, -1)
+    kf_obs = state.kf_obs.at[kf_id].set(jnp.where(kp_mask, -1, row))
+    # clear mirror slots matching (kf_id, kp)
+    hit = (state.mp_obs_kf == kf_id)
+    kp_of_slot = state.mp_obs_kp
+    # a slot is cleared if its (kf, kp) pair was removed
+    removed_kp = jnp.zeros((state.kf_obs.shape[1],), bool).at[
+        jnp.arange(kp_mask.shape[0])].set(kp_mask)
+    clear = hit & removed_kp[jnp.clip(kp_of_slot, 0, None)] & (kp_of_slot >= 0)
+    return state._replace(
+        kf_obs=kf_obs,
+        mp_obs_kf=jnp.where(clear, -1, state.mp_obs_kf),
+        mp_obs_kp=jnp.where(clear, -1, state.mp_obs_kp))
+
+
+def cull_points(state: MapState, bad: jnp.ndarray) -> MapState:
+    """Invalidate points where bad [M]; remove them from every keyframe's
+    observation row (reference MapPoint::SetBadFlag, MapPoint.cc:151-168 —
+    but actually freeing the slot, unlike the reference's leak, §2.6)."""
+    obs = state.kf_obs
+    is_bad = bad[jnp.clip(obs, 0, None)] & (obs >= 0)
+    return state._replace(
+        kf_obs=jnp.where(is_bad, -1, obs),
+        mp_valid=state.mp_valid & ~bad,
+        mp_obs_kf=jnp.where(bad[:, None], -1, state.mp_obs_kf),
+        mp_obs_kp=jnp.where(bad[:, None], -1, state.mp_obs_kp))
+
+
+def replace_points(state: MapState, src: jnp.ndarray,
+                   dst: jnp.ndarray) -> MapState:
+    """Fuse: forward every src point id to its dst (reference
+    MapPoint::Replace, MapPoint.cc:177-215).  src/dst: [M] aligned arrays
+    where src[i] >= 0 means point i is replaced by dst[i].
+
+    All kf_obs references to i are rewritten to dst[i]; i is invalidated.
+    Counters are merged.  Existing forwarding chains are collapsed by
+    rewriting mp_replaced targets."""
+    M = state.mp_pos.shape[0]
+    fwd = jnp.where(src >= 0, dst, -1)              # [M]
+    # rewrite kf_obs
+    obs = state.kf_obs
+    t = fwd[jnp.clip(obs, 0, None)]
+    new_obs = jnp.where((obs >= 0) & (t >= 0), t, obs)
+    # merge counters into dst
+    vis_add = jnp.zeros((M + 1,), jnp.int32).at[
+        jnp.where(fwd >= 0, fwd, M)].add(state.mp_visible)
+    fnd_add = jnp.zeros((M + 1,), jnp.int32).at[
+        jnp.where(fwd >= 0, fwd, M)].add(state.mp_found)
+    # collapse chains: anything forwarding to a now-replaced point forwards on
+    old_fwd = state.mp_replaced
+    collapsed = jnp.where((old_fwd >= 0) & (fwd[jnp.clip(old_fwd, 0, None)] >= 0),
+                          fwd[jnp.clip(old_fwd, 0, None)], old_fwd)
+    new_replaced = jnp.where(fwd >= 0, fwd, collapsed)
+    replaced_mask = fwd >= 0
+    state = state._replace(
+        kf_obs=new_obs,
+        mp_valid=state.mp_valid & ~replaced_mask,
+        mp_visible=state.mp_visible + vis_add[:M],
+        mp_found=state.mp_found + fnd_add[:M],
+        mp_replaced=new_replaced,
+        mp_obs_kf=jnp.where(replaced_mask[:, None], -1, state.mp_obs_kf),
+        mp_obs_kp=jnp.where(replaced_mask[:, None], -1, state.mp_obs_kp))
+    return state
+
+
+# ---------------------------------------------------------------------------
+# derived point attributes
+# ---------------------------------------------------------------------------
+
+def update_point_attributes(state: MapState, pmask: jnp.ndarray,
+                            scale_factor: float, n_levels: int) -> MapState:
+    """Recompute distinctive descriptor, normal and scale band for points in
+    pmask, from their observer table (reference
+    MapPoint::ComputeDistinctiveDescriptors MapPoint.cc:242-307 and
+    UpdateNormalAndDepth MapPoint.cc:330-371)."""
+    M, D = state.mp_obs_kf.shape
+    okf = state.mp_obs_kf            # [M, D]
+    okp = state.mp_obs_kp
+    has = (okf >= 0) & pmask[:, None]
+    kf_safe = jnp.clip(okf, 0, None)
+    kp_safe = jnp.clip(okp, 0, None)
+
+    # gather observation descriptors [M, D, 32]
+    descs = state.kf_desc[kf_safe, kp_safe]
+    # pairwise Hamming among the D observations of each point
+    pm1 = jnp.where(hamming.unpack_bits_batch(descs), 1.0, -1.0).astype(jnp.bfloat16)
+    dots = jnp.einsum('mdb,meb->mde', pm1, pm1,
+                      preferred_element_type=jnp.float32)
+    dist = (256.0 - dots) * 0.5
+    pair_ok = has[:, :, None] & has[:, None, :]
+    dist = jnp.where(pair_ok, dist, 0.0)
+    cnt = jnp.maximum(jnp.sum(has, 1), 1)[:, None]
+    # reference takes min median; mean of valid distances is the smooth
+    # equivalent and identical in the common small-D regime
+    mean_d = jnp.sum(dist, -1) / cnt
+    mean_d = jnp.where(has, mean_d, jnp.inf)
+    best = jnp.argmin(mean_d, axis=1)
+    new_desc = descs[jnp.arange(M), best]
+    # normal: mean of unit vectors from KF centers to point
+    kf_q = state.kf_pose[kf_safe, :4]
+    kf_t = state.kf_pose[kf_safe, 4:7]
+    # camera center C = -R^T t
+    from orb_slam2_tpu.core import lie
+    centers = -lie.quat_rotate(lie.quat_conj(kf_q.reshape(-1, 4)),
+                               kf_t.reshape(-1, 3)).reshape(M, D, 3)
+    vec = state.mp_pos[:, None, :] - centers
+    nrm = jnp.linalg.norm(vec, axis=-1, keepdims=True)
+    unit = jnp.where(has[..., None], vec / jnp.maximum(nrm, 1e-9), 0.0)
+    normal = jnp.sum(unit, 1) / jnp.maximum(jnp.sum(has, 1), 1)[:, None]
+    # scale band from the reference observation (first_kf's obs if present,
+    # else slot 0): dist * scale^octave
+    ref_slot = jnp.argmax(has, axis=1)
+    ref_kf = kf_safe[jnp.arange(M), ref_slot]
+    ref_kp = kp_safe[jnp.arange(M), ref_slot]
+    d_ref = jnp.linalg.norm(
+        state.mp_pos - (-lie.quat_rotate(lie.quat_conj(state.kf_pose[ref_kf, :4]),
+                                         state.kf_pose[ref_kf, 4:7])), axis=-1)
+    octv = state.kf_octave[ref_kf, ref_kp]
+    level_sf = scale_factor ** octv.astype(jnp.float32)
+    max_dist = d_ref * level_sf
+    min_dist = max_dist / (scale_factor ** (n_levels - 1))
+
+    upd = pmask & jnp.any(has, 1)
+    return state._replace(
+        mp_desc=jnp.where(upd[:, None], new_desc, state.mp_desc),
+        mp_normal=jnp.where(upd[:, None], normal, state.mp_normal),
+        mp_max_dist=jnp.where(upd, max_dist, state.mp_max_dist),
+        mp_min_dist=jnp.where(upd, min_dist, state.mp_min_dist))
