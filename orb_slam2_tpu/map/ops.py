@@ -44,15 +44,16 @@ def alloc_points(state: MapState, want: jnp.ndarray, pos: jnp.ndarray,
     valid_p = valid_p.at[slot].set(True)
     first_p = first_p.at[slot].set(jnp.asarray(first_kf, jnp.int32))
     n_new = jnp.sum(ok.astype(jnp.int32))
+    vis_p = jnp.concatenate([state.mp_visible, jnp.zeros((1,), jnp.int32)])
+    fnd_p = jnp.concatenate([state.mp_found, jnp.zeros((1,), jnp.int32)])
+    rep_p = jnp.concatenate([state.mp_replaced, jnp.zeros((1,), jnp.int32)])
+    vis_p = vis_p.at[slot].set(1)
+    fnd_p = fnd_p.at[slot].set(1)
+    rep_p = rep_p.at[slot].set(-1)
     state = state._replace(
         mp_pos=pos_p[:M], mp_desc=desc_p[:M], mp_valid=valid_p[:M],
-        mp_first_kf=first_p[:M],
-        mp_visible=state.mp_visible.at[jnp.where(ok, pids, M - 1)].set(
-            jnp.where(ok, 1, state.mp_visible[M - 1])),
-        mp_found=state.mp_found.at[jnp.where(ok, pids, M - 1)].set(
-            jnp.where(ok, 1, state.mp_found[M - 1])),
-        mp_replaced=state.mp_replaced.at[jnp.clip(pids, 0, M - 1)].set(
-            jnp.where(ok, -1, state.mp_replaced[jnp.clip(pids, 0, M - 1)])),
+        mp_first_kf=first_p[:M], mp_visible=vis_p[:M], mp_found=fnd_p[:M],
+        mp_replaced=rep_p[:M],
         next_mp=state.next_mp + n_new)
     return state, pids
 
@@ -69,11 +70,6 @@ def add_obs(state: MapState, kf_id, kp_idx: jnp.ndarray,
     """
     M, D = state.mp_obs_kf.shape
     ok = pids >= 0
-    # kf_obs
-    kf_obs = state.kf_obs.at[kf_id, jnp.where(ok, kp_idx, state.kf_obs.shape[1] - 1)
-                             ].set(jnp.where(ok, pids,
-                                             state.kf_obs[kf_id, state.kf_obs.shape[1] - 1]))
-    # safer: two-step with explicit mask
     kf_row = state.kf_obs[kf_id]
     kf_row = kf_row.at[jnp.clip(kp_idx, 0, None)].set(
         jnp.where(ok, pids, kf_row[jnp.clip(kp_idx, 0, None)]))
@@ -187,7 +183,9 @@ def update_point_attributes(state: MapState, pmask: jnp.ndarray,
     # gather observation descriptors [M, D, 32]
     descs = state.kf_desc[kf_safe, kp_safe]
     # pairwise Hamming among the D observations of each point
-    pm1 = jnp.where(hamming.unpack_bits_batch(descs), 1.0, -1.0).astype(jnp.bfloat16)
+    from orb_slam2_tpu.frontend.orb import unpack_bits
+    bits = unpack_bits(descs.reshape(-1, 32)).reshape(M, D, 256)
+    pm1 = jnp.where(bits, 1.0, -1.0).astype(jnp.bfloat16)
     dots = jnp.einsum('mdb,meb->mde', pm1, pm1,
                       preferred_element_type=jnp.float32)
     dist = (256.0 - dots) * 0.5
@@ -230,3 +228,41 @@ def update_point_attributes(state: MapState, pmask: jnp.ndarray,
         mp_normal=jnp.where(upd[:, None], normal, state.mp_normal),
         mp_max_dist=jnp.where(upd, max_dist, state.mp_max_dist),
         mp_min_dist=jnp.where(upd, min_dist, state.mp_min_dist))
+
+
+# ---------------------------------------------------------------------------
+# keyframe insertion
+# ---------------------------------------------------------------------------
+
+def insert_keyframe(state: MapState, frame, pose: jnp.ndarray,
+                    obs_pids: jnp.ndarray):
+    """Append a keyframe built from a tracked frame (reference
+    Tracking::CreateNewKeyFrame Tracking.cc:1063-1141 + KeyFrame ctor
+    KeyFrame.cc:31-57 + UpdateConnections).
+
+    obs_pids: [N] map-point id tracked at each keypoint (-1 none).
+    Returns (state, kf_id).  Caller must check kf capacity on host.
+    """
+    from orb_slam2_tpu.map.state import (spanning_parent_for_kf,
+                                         update_covisibility_for_kf)
+    k = state.next_kf
+    state = state._replace(
+        kf_pose=state.kf_pose.at[k].set(pose),
+        kf_valid=state.kf_valid.at[k].set(True),
+        kf_frame_id=state.kf_frame_id.at[k].set(frame.frame_id),
+        kf_timestamp=state.kf_timestamp.at[k].set(frame.timestamp),
+        kf_uv=state.kf_uv.at[k].set(frame.uv),
+        kf_ur=state.kf_ur.at[k].set(frame.ur),
+        kf_depth=state.kf_depth.at[k].set(frame.depth),
+        kf_octave=state.kf_octave.at[k].set(frame.octave),
+        kf_angle=state.kf_angle.at[k].set(frame.angle),
+        kf_desc=state.kf_desc.at[k].set(frame.desc),
+        kf_kp_valid=state.kf_kp_valid.at[k].set(frame.valid),
+        kf_obs=state.kf_obs.at[k].set(-1),
+        next_kf=state.next_kf + 1)
+    n = frame.uv.shape[0]
+    state = add_obs(state, k, jnp.arange(n), jnp.where(frame.valid, obs_pids, -1))
+    state = update_covisibility_for_kf(state, k)
+    parent = spanning_parent_for_kf(state, k)
+    state = state._replace(kf_parent=state.kf_parent.at[k].set(parent))
+    return state, k

@@ -110,6 +110,8 @@ def empty_map(cfg: SLAMConfig) -> MapState:
         mp_visible=jnp.ones((M,), i32),
         mp_found=jnp.ones((M,), i32),
         mp_replaced=jnp.full((M,), -1, i32),
+        mp_obs_kf=jnp.full((M, cfg.cap.max_obs_per_point), -1, i32),
+        mp_obs_kp=jnp.full((M, cfg.cap.max_obs_per_point), -1, i32),
         next_kf=jnp.asarray(0, i32),
         next_mp=jnp.asarray(0, i32),
         big_change=jnp.asarray(0, i32),
