@@ -1,0 +1,150 @@
+"""Local and global bundle adjustment over the map state.
+
+Reference `Optimizer::LocalBundleAdjustment` (Optimizer.cc:453-778): variable
+KFs = current KF + its covisible neighbors, variable points = everything they
+observe, fixed anchor KFs = other observers of those points; after
+optimization, outlier observations are erased from the map.
+
+Here the variable/fixed partition is computed with masks and top-k over the
+covisibility matrix, the solver is the matrix-free Schur LM (ba/schur.py),
+and outlier removal flows through the centralized obs bookkeeping.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from orb_slam2_tpu.config import SLAMConfig
+from orb_slam2_tpu.core import camera
+from orb_slam2_tpu.ba.schur import BAProblem, ba_solve
+from orb_slam2_tpu.map import ops
+from orb_slam2_tpu.map.state import MapState, covisible_neighbors
+
+
+def _obs_weight(state: MapState, cams, cfg: SLAMConfig):
+    """inv_sigma2 per (cam-slot, keypoint)."""
+    oct_ = state.kf_octave[jnp.clip(cams, 0, None)]
+    return (1.0 / cfg.orb.scale_factor ** 2) ** oct_.astype(jnp.float32)
+
+
+def build_local_problem(state: MapState, kf_id, cfg: SLAMConfig):
+    """Returns (BAProblem, cams [C], is_local [C])."""
+    Lv = cfg.cap.local_ba_kfs
+    Lf = cfg.cap.local_ba_fixed
+    K_, N = state.kf_obs.shape
+    M = state.mp_pos.shape[0]
+
+    nb = covisible_neighbors(state, kf_id, Lv - 1, min_weight=1)
+    local = jnp.concatenate([jnp.asarray(kf_id, jnp.int32)[None], nb])   # [Lv]
+    local_ok = local >= 0
+    lsafe = jnp.clip(local, 0, None)
+
+    # points observed by local KFs
+    lobs = state.kf_obs[lsafe]                       # [Lv, N]
+    lpid = jnp.where(local_ok[:, None] & (lobs >= 0), lobs, M)
+    pmask = jnp.zeros((M + 1,), bool).at[lpid.reshape(-1)].set(True)[:M]
+    pmask = pmask & state.mp_valid
+
+    # fixed anchors: other observers of local points
+    obs_kf = state.mp_obs_kf                         # [M, D]
+    cand = jnp.where(pmask[:, None] & (obs_kf >= 0), obs_kf, K_)
+    counts = jnp.zeros((K_ + 1,), jnp.int32).at[cand.reshape(-1)].add(1)[:K_]
+    is_local_kf = jnp.zeros((K_,), bool).at[lsafe].set(local_ok)
+    counts = jnp.where(is_local_kf, 0, counts)
+    top_counts, fixed = jax.lax.top_k(counts, Lf)
+    fixed = jnp.where(top_counts > 0, fixed, -1).astype(jnp.int32)
+
+    cams = jnp.concatenate([local, fixed])           # [C]
+    C = cams.shape[0]
+    csafe = jnp.clip(cams, 0, None)
+    cam_ok = cams >= 0
+    is_local = jnp.arange(C) < Lv
+
+    # gauge: keyframe 0 is immortal & fixed (reference Optimizer.cc:79,
+    # KeyFrame.cc:457); also fix everything in the anchor block
+    cam_var = cam_ok & is_local & (cams != 0)
+
+    rows = state.kf_obs[csafe]                       # [C, N]
+    pid = jnp.clip(rows, 0, None)
+    active = (cam_ok[:, None] & (rows >= 0) & pmask[pid] &
+              state.kf_kp_valid[csafe])
+    w = jnp.where(active, _obs_weight(state, cams, cfg), 0.0)
+
+    prob = BAProblem(
+        cam_pose=state.kf_pose[csafe],
+        cam_var=cam_var,
+        points=state.mp_pos,
+        pt_var=pmask,
+        obs_cam=jnp.broadcast_to(jnp.arange(C)[:, None], (C, N)).reshape(-1),
+        obs_pid=pid.reshape(-1),
+        obs_uv=state.kf_uv[csafe].reshape(-1, 2),
+        obs_ur=state.kf_ur[csafe].reshape(-1),
+        obs_w=w.reshape(-1),
+        K=camera.intrinsics(cfg.camera),
+        bf=jnp.asarray(cfg.camera.bf, jnp.float32),
+    )
+    return prob, cams, is_local
+
+
+def local_ba(state: MapState, kf_id, cfg: SLAMConfig,
+             n_outer: int = 10, n_cg: int = 30) -> MapState:
+    """Run local BA and write results + outlier removal back into the map."""
+    prob, cams, is_local = build_local_problem(state, kf_id, cfg)
+    res = ba_solve(prob, n_outer=n_outer, n_cg=n_cg,
+                   chi2_th_mono=cfg.ba.chi2_mono,
+                   chi2_th_stereo=cfg.ba.chi2_stereo)
+
+    # write back variable cameras (masked merge over all K)
+    C = cams.shape[0]
+    csafe = jnp.clip(cams, 0, None)
+    upd_cam = prob.cam_var
+    K_ = state.kf_pose.shape[0]
+    pose_buf = jnp.zeros((K_ + 1, 7), state.kf_pose.dtype)
+    hit = jnp.zeros((K_ + 1,), bool)
+    tgt = jnp.where(upd_cam, csafe, K_)
+    pose_buf = pose_buf.at[tgt].set(res.cam_pose)
+    hit = hit.at[tgt].set(upd_cam)
+    kf_pose = jnp.where(hit[:K_, None], pose_buf[:K_], state.kf_pose)
+
+    mp_pos = jnp.where(prob.pt_var[:, None], res.points, state.mp_pos)
+    state = state._replace(kf_pose=kf_pose, mp_pos=mp_pos)
+
+    # erase outlier observations (reference Optimizer.cc:711-757)
+    N = state.kf_obs.shape[1]
+    bad = ((prob.obs_w > 0) & ~res.inlier).reshape(C, N)
+    removal = jnp.zeros((K_ + 1, N), bool).at[
+        jnp.where(cams >= 0, csafe, K_)].max(bad)[:K_]
+    state = ops.remove_obs_global(state, removal)
+    return state
+
+
+def global_ba(state: MapState, cfg: SLAMConfig, n_outer: int = 10,
+              n_cg: int = 50) -> MapState:
+    """Full-map BA (reference Optimizer::GlobalBundleAdjustemnt,
+    Optimizer.cc:41-237): all valid KFs variable except KF 0."""
+    K_, N = state.kf_obs.shape
+    M = state.mp_pos.shape[0]
+    cams = jnp.arange(K_, dtype=jnp.int32)
+    cam_ok = state.kf_valid
+    cam_var = cam_ok & (cams != 0)
+    rows = state.kf_obs
+    pid = jnp.clip(rows, 0, None)
+    active = cam_ok[:, None] & (rows >= 0) & state.mp_valid[pid]
+    w = jnp.where(active, _obs_weight(state, cams, cfg), 0.0)
+    prob = BAProblem(
+        cam_pose=state.kf_pose, cam_var=cam_var,
+        points=state.mp_pos, pt_var=state.mp_valid,
+        obs_cam=jnp.broadcast_to(jnp.arange(K_)[:, None], (K_, N)).reshape(-1),
+        obs_pid=pid.reshape(-1),
+        obs_uv=state.kf_uv.reshape(-1, 2),
+        obs_ur=state.kf_ur.reshape(-1),
+        obs_w=w.reshape(-1),
+        K=camera.intrinsics(cfg.camera),
+        bf=jnp.asarray(cfg.camera.bf, jnp.float32))
+    res = ba_solve(prob, n_outer=n_outer, n_cg=n_cg,
+                   chi2_th_mono=cfg.ba.chi2_mono,
+                   chi2_th_stereo=cfg.ba.chi2_stereo)
+    kf_pose = jnp.where(cam_var[:, None], res.cam_pose, state.kf_pose)
+    mp_pos = jnp.where(state.mp_valid[:, None], res.points, state.mp_pos)
+    return state._replace(kf_pose=kf_pose, mp_pos=mp_pos)

@@ -93,24 +93,24 @@ def add_obs(state: MapState, kf_id, kp_idx: jnp.ndarray,
                           mp_obs_kp=obs_kp_p[:M])
 
 
-def remove_obs(state: MapState, kf_id, kp_mask: jnp.ndarray) -> MapState:
-    """Remove the observations of keyframe kf_id at keypoints where kp_mask
-    (e.g. BA outliers, reference Optimizer.cc:711-757)."""
-    M, D = state.mp_obs_kf.shape
-    row = state.kf_obs[kf_id]
-    pids = jnp.where(kp_mask, row, -1)
-    kf_obs = state.kf_obs.at[kf_id].set(jnp.where(kp_mask, -1, row))
-    # clear mirror slots matching (kf_id, kp)
-    hit = (state.mp_obs_kf == kf_id)
-    kp_of_slot = state.mp_obs_kp
-    # a slot is cleared if its (kf, kp) pair was removed
-    removed_kp = jnp.zeros((state.kf_obs.shape[1],), bool).at[
-        jnp.arange(kp_mask.shape[0])].set(kp_mask)
-    clear = hit & removed_kp[jnp.clip(kp_of_slot, 0, None)] & (kp_of_slot >= 0)
+def remove_obs_global(state: MapState, removal: jnp.ndarray) -> MapState:
+    """Remove observations where removal [K, N] is True (e.g. BA outliers,
+    reference Optimizer.cc:711-757), updating both kf_obs and the mirror."""
+    kf_obs = jnp.where(removal, -1, state.kf_obs)
+    okf, okp = state.mp_obs_kf, state.mp_obs_kp
+    slot_ok = okf >= 0
+    clear = slot_ok & removal[jnp.clip(okf, 0, None), jnp.clip(okp, 0, None)]
     return state._replace(
         kf_obs=kf_obs,
-        mp_obs_kf=jnp.where(clear, -1, state.mp_obs_kf),
-        mp_obs_kp=jnp.where(clear, -1, state.mp_obs_kp))
+        mp_obs_kf=jnp.where(clear, -1, okf),
+        mp_obs_kp=jnp.where(clear, -1, okp))
+
+
+def remove_obs(state: MapState, kf_id, kp_mask: jnp.ndarray) -> MapState:
+    """Remove the observations of keyframe kf_id at keypoints where kp_mask."""
+    K_, N = state.kf_obs.shape
+    removal = jnp.zeros((K_, N), bool).at[kf_id].set(kp_mask)
+    return remove_obs_global(state, removal)
 
 
 def cull_points(state: MapState, bad: jnp.ndarray) -> MapState:

@@ -1,0 +1,208 @@
+"""Local mapping at keyframe rate: new-point triangulation, point culling,
+keyframe decision (reference LocalMapping.cc, run deterministically after a
+keyframe insertion instead of on a separate thread)."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from orb_slam2_tpu.config import SLAMConfig
+from orb_slam2_tpu.core import camera, lie
+from orb_slam2_tpu.map import ops
+from orb_slam2_tpu.map.state import (MapState, covisible_neighbors,
+                                     point_obs_count)
+from orb_slam2_tpu.matching import hamming, search
+from orb_slam2_tpu.solvers import triangulate as tri
+
+
+def _camera_center(T):
+    return -lie.quat_rotate(lie.quat_conj(lie.se3_q(T)), lie.se3_t(T))
+
+
+def _fundamental(T1, T2, K):
+    """F12 such that x2^T F x1 = 0 for pixel coords (reference
+    LocalMapping::ComputeF12, LocalMapping.cc:536-553)."""
+    T12 = lie.se3_compose(T1, lie.se3_inverse(T2))  # cam2 -> cam1
+    # points in cam2 map to cam1: x1 = R12 x2 + t12 => E21? follow reference:
+    # F12 = K1^-T [t12]_x R12 K2^-1 with x2^T F21 x1 — implement directly:
+    R = lie.quat_to_matrix(lie.se3_q(T12))
+    t = lie.se3_t(T12)
+    E = lie.hat(t) @ R
+    Kinv = jnp.asarray([[1.0 / K[0], 0, -K[2] / K[0]],
+                        [0, 1.0 / K[1], -K[3] / K[1]],
+                        [0, 0, 1.0]])
+    return Kinv.T @ E @ Kinv
+
+
+def median_scene_depth(state: MapState, k, K) -> jnp.ndarray:
+    """Median depth of the map points observed by keyframe k (reference
+    KeyFrame::ComputeSceneMedianDepth, KeyFrame.cc:633-663)."""
+    obs = state.kf_obs[k]
+    has = obs >= 0
+    pw = state.mp_pos[jnp.clip(obs, 0, None)]
+    z = lie.se3_apply(state.kf_pose[k], pw)[:, 2]
+    n = jnp.maximum(jnp.sum(has.astype(jnp.int32)), 1)
+    z_sorted = jnp.sort(jnp.where(has, z, jnp.inf))
+    return z_sorted[jnp.clip((n - 1) // 2, 0, z.shape[0] - 1)]
+
+
+def triangulate_new_points(state: MapState, kf_id, cfg: SLAMConfig,
+                           n_neighbors: int = 8) -> MapState:
+    """Create new map points by triangulating unmatched keypoints of the new
+    keyframe against its top covisible neighbors (reference
+    LocalMapping::CreateNewMapPoints, LocalMapping.cc:207-452).
+
+    All neighbors are processed in one batch; for each keypoint of the new
+    KF the best-parallax valid candidate wins (the reference's first-come
+    sequential scan is an artifact of its threading, not a requirement)."""
+    K = camera.intrinsics(cfg.camera)
+    sf = cfg.orb.scale_factor
+    N = state.kf_obs.shape[1]
+
+    neighbors = covisible_neighbors(state, kf_id, n_neighbors, min_weight=15)
+    T1 = state.kf_pose[kf_id]
+    c1 = _camera_center(T1)
+    med_depth = median_scene_depth(state, kf_id, K)
+
+    kp1_free = state.kf_kp_valid[kf_id] & (state.kf_obs[kf_id] < 0)
+    desc1 = state.kf_desc[kf_id]
+    uv1 = state.kf_uv[kf_id]
+    oct1 = state.kf_octave[kf_id]
+    ang1 = state.kf_angle[kf_id]
+    sigma1 = sf ** oct1.astype(jnp.float32)
+
+    def per_neighbor(nb):
+        nb_safe = jnp.clip(nb, 0, None)
+        T2 = state.kf_pose[nb_safe]
+        c2 = _camera_center(T2)
+        baseline = jnp.linalg.norm(c2 - c1)
+        # mono baseline check: baseline/medianDepth >= 0.01
+        # (LocalMapping.cc:255-261)
+        base_ok = (nb >= 0) & (baseline / jnp.maximum(med_depth, 1e-9) > 0.01)
+
+        kp2_free = state.kf_kp_valid[nb_safe] & (state.kf_obs[nb_safe] < 0)
+        uv2 = state.kf_uv[nb_safe]
+        oct2 = state.kf_octave[nb_safe]
+        # epipolar gate: distance of x2 to line F12 x1 (reference
+        # CheckDistEpipolarLine, ORBmatcher.cc:140-157)
+        F = _fundamental(T2, T1, K)   # x2^T F x1
+        ph1 = jnp.concatenate([uv1, jnp.ones((N, 1))], -1)
+        ph2 = jnp.concatenate([uv2, jnp.ones((N, 1))], -1)
+        l2 = ph1 @ F.T                 # [N1, 3] line in image 2
+        num = (l2[:, None, :] * ph2[None, :, :]).sum(-1) ** 2
+        den = jnp.maximum(l2[:, 0:1] ** 2 + l2[:, 1:2] ** 2, 1e-12)
+        d_epi = num / den              # [N1, N2]
+        sigma2_2 = (sf ** oct2.astype(jnp.float32)) ** 2
+        gate = d_epi < 3.84 * sigma2_2[None, :]
+        # epipole distance rejection (ORBmatcher.cc:743-749)
+        e2 = camera.project(K, lie.se3_apply(T2, c1)[None])[0]
+        far_from_epipole = jnp.sum((uv2 - e2) ** 2, -1) > \
+            100.0 * sigma2_2
+        gate = gate & far_from_epipole[None, :]
+
+        dist = hamming.hamming_matrix(desc1, state.kf_desc[nb_safe])
+        res = search.match_descriptors(dist, gate, cfg.match.th_low, None,
+                                       kp1_free, kp2_free)
+        idx = search.rotation_consistency(ang1, state.kf_angle[nb_safe],
+                                          res.idx, cfg.match.histo_length)
+
+        m = idx >= 0
+        idx_s = jnp.clip(idx, 0, None)
+        xn1 = (uv1 - K[2:4]) / K[:2]
+        xn2 = (uv2[idx_s] - K[2:4]) / K[:2]
+        pw = tri.triangulate_dlt(T1[None], T2[None], xn1, xn2)
+        # acceptance gates (LocalMapping.cc:299-431)
+        z1 = tri.depth_in(T1, pw)
+        z2 = tri.depth_in(T2, pw)
+        cosp = tri.parallax_cos(c1, c2, pw)
+        e1 = tri.reprojection_error(T1, K, pw, uv1)
+        e2r = tri.reprojection_error(T2, K, pw, uv2[idx_s])
+        chi1 = e1 / jnp.maximum(sigma1 ** 2, 1e-9)
+        chi2 = e2r / sigma2_2[idx_s]
+        d1 = jnp.linalg.norm(pw - c1, axis=-1)
+        d2 = jnp.linalg.norm(pw - c2, axis=-1)
+        ratio_dist = d2 / jnp.maximum(d1, 1e-9)
+        ratio_oct = sf ** (oct1 - oct2[idx_s]).astype(jnp.float32)
+        ratio_factor = 1.5 * sf
+        scale_ok = (ratio_dist > ratio_oct / ratio_factor) & \
+                   (ratio_dist < ratio_oct * ratio_factor)
+        good = (m & base_ok & jnp.all(jnp.isfinite(pw), -1) &
+                (cosp < 0.9998) & (cosp > 0) & (z1 > 0) & (z2 > 0) &
+                (chi1 < cfg.mapping.epipolar_chi2_mono) &
+                (chi2 < cfg.mapping.epipolar_chi2_mono) & scale_ok)
+        return good, pw, idx, cosp, nb
+
+    goods, pws, idxs, cosps, nbs = jax.vmap(per_neighbor)(neighbors)
+
+    # per keypoint, choose the neighbor with the smallest cos (max parallax)
+    score = jnp.where(goods, 1.0 - cosps, -1.0)      # [NB, N]
+    best_nb = jnp.argmax(score, axis=0)              # [N]
+    any_good = jnp.any(goods, axis=0)
+    pick = lambda arr: arr[best_nb, jnp.arange(N)]
+    pw_best = pick(pws)
+    idx_best = pick(idxs)
+    nb_best = nbs[best_nb]
+
+    state, pids = ops.alloc_points(state, any_good, pw_best,
+                                   state.kf_desc[kf_id], kf_id)
+    state = ops.add_obs(state, kf_id, jnp.arange(N), pids)
+    # add the neighbor-side observation, one neighbor at a time (each
+    # neighbor's matched kp indices are unique by construction)
+    for s in range(n_neighbors):
+        sel = (best_nb == s) & (pids >= 0)
+        nb = neighbors[s]
+        state = jax.lax.cond(
+            nb >= 0,
+            lambda st: ops.add_obs(st, jnp.clip(nb, 0, None),
+                                   jnp.clip(idx_best, 0, None),
+                                   jnp.where(sel, pids, -1)),
+            lambda st: st, state)
+    from orb_slam2_tpu.pipeline.init import pids_mask_from
+    state = ops.update_point_attributes(
+        state, pids_mask_from(pids, state.mp_pos.shape[0]),
+        cfg.orb.scale_factor, cfg.orb.n_levels)
+    from orb_slam2_tpu.map.state import update_covisibility_for_kf
+    state = update_covisibility_for_kf(state, kf_id)
+    return state
+
+
+def create_depth_points(state: MapState, kf_id, cfg: SLAMConfig) -> MapState:
+    """Stereo/RGB-D: create points for close untracked keypoints with depth
+    (reference Tracking::CreateNewKeyFrame, Tracking.cc:1078-1136)."""
+    K = camera.intrinsics(cfg.camera)
+    N = state.kf_obs.shape[1]
+    depth = state.kf_depth[kf_id]
+    free = state.kf_kp_valid[kf_id] & (state.kf_obs[kf_id] < 0)
+    th_depth = cfg.camera.th_depth * cfg.camera.baseline if cfg.camera.bf > 0 \
+        else jnp.inf
+    want = free & (depth > 0) & (depth < th_depth)
+    T = state.kf_pose[kf_id]
+    pc = camera.unproject(K, state.kf_uv[kf_id], depth)
+    pw = lie.se3_apply(lie.se3_inverse(T), pc)
+    state, pids = ops.alloc_points(state, want, pw, state.kf_desc[kf_id], kf_id)
+    state = ops.add_obs(state, kf_id, jnp.arange(N), pids)
+    from orb_slam2_tpu.pipeline.init import pids_mask_from
+    state = ops.update_point_attributes(
+        state, pids_mask_from(pids, state.mp_pos.shape[0]),
+        cfg.orb.scale_factor, cfg.orb.n_levels)
+    from orb_slam2_tpu.map.state import update_covisibility_for_kf
+    state = update_covisibility_for_kf(state, kf_id)
+    return state
+
+
+def cull_points(state: MapState, kf_id, cfg: SLAMConfig) -> MapState:
+    """Recent-point culling (reference LocalMapping::MapPointCulling,
+    LocalMapping.cc:170-205): found-ratio < 0.25, or too few observations
+    two keyframes after creation."""
+    cnt = point_obs_count(state)
+    found_ratio = state.mp_found.astype(jnp.float32) / \
+        jnp.maximum(state.mp_visible, 1).astype(jnp.float32)
+    age = kf_id - state.mp_first_kf   # in keyframes
+    min_obs = 2 if cfg.sensor == 0 else 3
+    bad = state.mp_valid & (
+        (found_ratio < cfg.mapping.found_ratio_min) |
+        ((age >= 2) & (cnt <= min_obs)))
+    # points older than 3 KFs are out of the probation window
+    bad = bad & (age <= 3)
+    return ops.cull_points(state, bad)

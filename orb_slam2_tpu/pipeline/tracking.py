@@ -1,0 +1,257 @@
+"""Per-frame tracking: the TPU re-design of the reference `Tracking` state
+machine (Tracking.cc:267-506).
+
+Each phase is a pure jitted function over (MapState, TrackState, Frame); the
+thin host orchestration in `system.py` branches on the tracked status between
+phases (mirroring the reference's state machine, but deterministic — no
+queue-idle heuristics).
+
+Key data layout: `cur_pids [N]` — the map-point id matched to each current
+keypoint (-1 = none) — plays the role of `Frame::mvpMapPoints`.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from orb_slam2_tpu.config import SLAMConfig
+from orb_slam2_tpu.core import camera, lie
+from orb_slam2_tpu.map.state import MapState, resolve_replaced
+from orb_slam2_tpu.matching import hamming, search
+from orb_slam2_tpu.pipeline.frame import Frame
+from orb_slam2_tpu.solvers import pose_opt
+
+# status codes (reference Tracking.h:81-87)
+NO_IMAGES = 0
+NOT_INITIALIZED = 1
+OK = 2
+LOST = 3
+
+
+class TrackState(NamedTuple):
+    status: jnp.ndarray       # i32
+    T: jnp.ndarray            # [7] current Tcw
+    velocity: jnp.ndarray     # [7] Tcw_cur * Twc_last
+    has_velocity: jnp.ndarray  # bool
+    last_T: jnp.ndarray       # [7]
+    last_pids: jnp.ndarray    # [N] map point per last-frame keypoint
+    last_uv: jnp.ndarray      # [N, 2] last-frame keypoint coords
+    last_octave: jnp.ndarray  # [N]
+    last_angle: jnp.ndarray   # [N]
+    last_valid: jnp.ndarray   # [N]
+    ref_kf: jnp.ndarray       # i32
+    last_kf_frame_id: jnp.ndarray  # i32 frame id at last KF insertion
+    last_reloc_frame_id: jnp.ndarray  # i32
+    # mono-init first-frame buffer (reference mInitialFrame)
+    init_valid_frame: jnp.ndarray  # bool
+    init_uv: jnp.ndarray      # [N, 2]
+    init_angle: jnp.ndarray   # [N]
+    init_octave: jnp.ndarray  # [N]
+    init_desc: jnp.ndarray    # [N, 32]
+    init_kp_valid: jnp.ndarray  # [N]
+    init_frame_id: jnp.ndarray  # i32
+    init_timestamp: jnp.ndarray  # f32
+
+
+def empty_track_state(cfg: SLAMConfig) -> TrackState:
+    N = cfg.orb.max_keypoints
+    return TrackState(
+        status=jnp.asarray(NOT_INITIALIZED, jnp.int32),
+        T=lie.se3_identity(),
+        velocity=lie.se3_identity(),
+        has_velocity=jnp.asarray(False),
+        last_T=lie.se3_identity(),
+        last_pids=jnp.full((N,), -1, jnp.int32),
+        last_uv=jnp.zeros((N, 2), jnp.float32),
+        last_octave=jnp.zeros((N,), jnp.int32),
+        last_angle=jnp.zeros((N,), jnp.float32),
+        last_valid=jnp.zeros((N,), bool),
+        ref_kf=jnp.asarray(-1, jnp.int32),
+        last_kf_frame_id=jnp.asarray(-1, jnp.int32),
+        last_reloc_frame_id=jnp.asarray(-1000000, jnp.int32),
+        init_valid_frame=jnp.asarray(False),
+        init_uv=jnp.zeros((N, 2), jnp.float32),
+        init_angle=jnp.zeros((N,), jnp.float32),
+        init_octave=jnp.zeros((N,), jnp.int32),
+        init_desc=jnp.zeros((N, 32), jnp.uint8),
+        init_kp_valid=jnp.zeros((N,), bool),
+        init_frame_id=jnp.asarray(-1, jnp.int32),
+        init_timestamp=jnp.asarray(0.0, jnp.float32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def predict_scale(dist: jnp.ndarray, max_dist: jnp.ndarray,
+                  scale_factor: float, n_levels: int) -> jnp.ndarray:
+    """Predicted pyramid level from distance (reference MapPoint::PredictScale
+    MapPoint.cc:385-417)."""
+    ratio = jnp.maximum(max_dist, 1e-9) / jnp.maximum(dist, 1e-9)
+    lvl = jnp.ceil(jnp.log(ratio) / jnp.log(scale_factor)).astype(jnp.int32)
+    return jnp.clip(lvl, 0, n_levels - 1)
+
+
+def _pose_opt_from_pids(state: MapState, frame: Frame, pids, T0, K, bf, cfg):
+    """Run motion-only BA on the current frame given per-keypoint point ids."""
+    safe = jnp.clip(pids, 0, None)
+    pw = state.mp_pos[safe]
+    valid = (pids >= 0) & frame.valid
+    inv_sigma2 = 1.0 / (cfg.orb.scale_factor ** 2) ** frame.octave.astype(jnp.float32)
+    is_stereo = frame.ur >= 0
+    res = pose_opt.pose_optimize(T0, pw, frame.uv, frame.ur, inv_sigma2,
+                                 valid, is_stereo, K, bf, cfg.ba)
+    return res
+
+
+# ---------------------------------------------------------------------------
+# tracking phases
+# ---------------------------------------------------------------------------
+
+def track_with_motion_model(state: MapState, ts: TrackState, frame: Frame,
+                            cfg: SLAMConfig):
+    """Reference Tracking::TrackWithMotionModel (Tracking.cc:867-928):
+    constant-velocity prediction, project last frame's points, windowed
+    search (radius th * scale of last octave), pose optimization.
+
+    Returns (cur_pids [N], pose-opt result, ok flag)."""
+    K = camera.intrinsics(cfg.camera)
+    bf = cfg.camera.bf
+    T_pred = lie.se3_compose(ts.velocity, ts.last_T)
+
+    pids = resolve_replaced(state, ts.last_pids)
+    safe = jnp.clip(pids, 0, None)
+    pt_valid = (pids >= 0) & ts.last_valid & state.mp_valid[safe]
+    pw = state.mp_pos[safe]
+    pc = lie.se3_apply(T_pred, pw)
+    uv_pred = camera.project(K, pc)
+    bounds = jnp.asarray([0.0, cfg.camera.width, 0.0, cfg.camera.height])
+    pt_valid = pt_valid & (pc[..., 2] > 0) & camera.in_image(uv_pred, bounds)
+
+    th = float(cfg.match.search_window_track if cfg.sensor != 0
+               else cfg.match.search_window_track_mono)
+    radius = th * cfg.orb.scale_factor ** ts.last_octave.astype(jnp.float32)
+
+    res = search.search_by_projection(
+        uv_pred, ts.last_octave, state.mp_desc[safe], pt_valid,
+        frame.uv, frame.octave, frame.desc, frame.angle, frame.valid,
+        radius, max_dist=cfg.match.th_high, ratio=None, oct_lo=-1, oct_hi=1)
+    idx = search.rotation_consistency(ts.last_angle, frame.angle, res.idx,
+                                      cfg.match.histo_length)
+
+    # scatter: per-current-kp point id
+    N = frame.uv.shape[0]
+    cur_pids = jnp.full((N,), -1, jnp.int32)
+    tgt = jnp.where(idx >= 0, idx, N)
+    cur_pids = jnp.concatenate([cur_pids, jnp.full((1,), -1, jnp.int32)]).at[
+        tgt].set(jnp.where(idx >= 0, pids, -1))[:N]
+
+    n_matches = jnp.sum((cur_pids >= 0).astype(jnp.int32))
+    opt = _pose_opt_from_pids(state, frame, cur_pids, T_pred, K, bf, cfg)
+    cur_pids = jnp.where(opt.inliers, cur_pids, -1)
+    ok = (n_matches >= cfg.tracking.min_matches_motion) & \
+         (opt.n_inliers >= cfg.tracking.min_inliers_track)
+    return cur_pids, opt, ok
+
+
+def track_reference_keyframe(state: MapState, ts: TrackState, frame: Frame,
+                             cfg: SLAMConfig):
+    """Reference Tracking::TrackReferenceKeyFrame (Tracking.cc:757-799):
+    descriptor match against the reference KF (brute-force matmul replaces
+    SearchByBoW), pose optimization from the last pose."""
+    K = camera.intrinsics(cfg.camera)
+    bf = cfg.camera.bf
+    r = ts.ref_kf
+    kf_desc = state.kf_desc[r]
+    kf_pids = resolve_replaced(state, state.kf_obs[r])
+    safe = jnp.clip(kf_pids, 0, None)
+    row_valid = (kf_pids >= 0) & state.kf_kp_valid[r] & state.mp_valid[safe]
+
+    dist = hamming.hamming_matrix(kf_desc, frame.desc)
+    res = search.match_descriptors(
+        dist, jnp.ones_like(dist, dtype=bool), cfg.match.th_low,
+        cfg.match.nn_ratio_track_ref, row_valid, frame.valid)
+    idx = search.rotation_consistency(state.kf_angle[r], frame.angle, res.idx,
+                                      cfg.match.histo_length)
+    N = frame.uv.shape[0]
+    tgt = jnp.where(idx >= 0, idx, N)
+    cur_pids = jnp.concatenate([jnp.full((N,), -1, jnp.int32),
+                                jnp.full((1,), -1, jnp.int32)]).at[
+        tgt].set(jnp.where(idx >= 0, kf_pids, -1))[:N]
+    n_matches = jnp.sum((cur_pids >= 0).astype(jnp.int32))
+    opt = _pose_opt_from_pids(state, frame, cur_pids, ts.last_T, K, bf, cfg)
+    cur_pids = jnp.where(opt.inliers, cur_pids, -1)
+    ok = (n_matches >= cfg.tracking.min_matches_ref_kf) & \
+         (opt.n_inliers >= cfg.tracking.min_inliers_track)
+    return cur_pids, opt, ok
+
+
+def track_local_map(state: MapState, ts: TrackState, frame: Frame,
+                    T: jnp.ndarray, cur_pids: jnp.ndarray, cfg: SLAMConfig,
+                    after_reloc: jnp.ndarray):
+    """Reference Tracking::TrackLocalMap + SearchLocalPoints
+    (Tracking.cc:930-974, 1143-1193).  TPU-native twist: instead of walking
+    the covisibility graph to collect a local point set, project *all* valid
+    map points (one batched frustum test over M) — the MXU makes the dense
+    match affordable, and recall can only improve."""
+    K = camera.intrinsics(cfg.camera)
+    bf = cfg.camera.bf
+    M = state.mp_pos.shape[0]
+
+    pc = lie.se3_apply(T, state.mp_pos)
+    uv_pred = camera.project(K, pc)
+    bounds = jnp.asarray([0.0, cfg.camera.width, 0.0, cfg.camera.height])
+    dist = jnp.linalg.norm(
+        state.mp_pos + lie.quat_rotate(lie.quat_conj(lie.se3_q(T)), lie.se3_t(T)),
+        axis=-1)  # |p - camera_center|
+    # frustum gates (reference Frame::isInFrustum Frame.cc:269-325)
+    view_cos = jnp.sum(
+        (state.mp_pos + lie.quat_rotate(lie.quat_conj(lie.se3_q(T)),
+                                        lie.se3_t(T))) * state.mp_normal, -1
+    ) / jnp.maximum(dist, 1e-9)
+    in_band = (dist >= 0.8 * state.mp_min_dist) & (dist <= 1.2 * state.mp_max_dist)
+    visible = (state.mp_valid & (pc[:, 2] > 0) &
+               camera.in_image(uv_pred, bounds) & in_band & (view_cos > 0.5))
+
+    # already-matched points are skipped for search but counted visible
+    already = jnp.zeros((M + 1,), bool).at[
+        jnp.where(cur_pids >= 0, cur_pids, M)].set(True)[:M]
+    pred_oct = predict_scale(dist, state.mp_max_dist, cfg.orb.scale_factor,
+                             cfg.orb.n_levels)
+    r_base = jnp.where(view_cos > 0.998, 2.5, 4.0)
+    th = jnp.where(after_reloc, 5.0, 1.0)
+    radius = r_base * th * cfg.orb.scale_factor ** pred_oct.astype(jnp.float32)
+
+    res = search.search_by_projection(
+        uv_pred, pred_oct, state.mp_desc, visible & ~already,
+        frame.uv, frame.octave, frame.desc, frame.angle,
+        frame.valid & (cur_pids < 0),
+        radius, max_dist=cfg.match.th_high, ratio=cfg.match.nn_ratio_local,
+        oct_lo=-1, oct_hi=0)
+
+    N = frame.uv.shape[0]
+    tgt = jnp.where(res.idx >= 0, res.idx, N)
+    add_pids = jnp.concatenate([jnp.full((N,), -1, jnp.int32),
+                                jnp.full((1,), -1, jnp.int32)]).at[
+        tgt].set(jnp.where(res.idx >= 0, jnp.arange(M), -1))[:N]
+    cur_pids = jnp.where(cur_pids >= 0, cur_pids, add_pids)
+
+    opt = _pose_opt_from_pids(state, frame, cur_pids,
+                              T, camera.intrinsics(cfg.camera), bf, cfg)
+    cur_pids = jnp.where(opt.inliers, cur_pids, -1)
+
+    # visibility / found counters (reference IncreaseVisible/IncreaseFound)
+    found = jnp.zeros((M + 1,), jnp.int32).at[
+        jnp.where(cur_pids >= 0, cur_pids, M)].add(1)[:M]
+    state = state._replace(
+        mp_visible=state.mp_visible + visible.astype(jnp.int32),
+        mp_found=state.mp_found + found)
+
+    min_inl = jnp.where(after_reloc, cfg.tracking.min_inliers_local_map_reloc,
+                        cfg.tracking.min_inliers_local_map)
+    ok = opt.n_inliers >= min_inl
+    return state, cur_pids, opt, ok
