@@ -74,12 +74,13 @@ class SLAM:
         self._ref_matches = jax.jit(self._n_ref_matches)
 
     # ------------------------------------------------------------------
-    def _n_ref_matches(self, state, ref_kf):
+    def _n_ref_matches(self, state, ref_kf, min_obs):
         """Tracked points in the reference KF with >= nMinObs observations
-        (reference Tracking.cc:988-990)."""
+        (reference Tracking.cc:986-990: nMinObs = 3, or 2 while the map has
+        <= 2 keyframes)."""
         cnt = point_obs_count(state)
         obs = state.kf_obs[ref_kf]
-        ok = (obs >= 0) & (cnt[jnp.clip(obs, 0, None)] >= 3)
+        ok = (obs >= 0) & (cnt[jnp.clip(obs, 0, None)] >= min_obs)
         return jnp.sum(ok.astype(jnp.int32))
 
     # ------------------------------------------------------------------
@@ -201,7 +202,9 @@ class SLAM:
         n_kf = int(self.state.n_kf)
         frames_since = self.frame_count - int(self.ts.last_kf_frame_id)
         n_inliers = int(opt.n_inliers)
-        n_ref = int(self._ref_matches(self.state, self.ts.ref_kf))
+        min_obs = 2 if n_kf <= 2 else cfg.tracking.kf_min_obs
+        n_ref = int(self._ref_matches(self.state, self.ts.ref_kf,
+                                      jnp.asarray(min_obs)))
         th_ratio = (cfg.tracking.kf_ref_ratio_mono if cfg.sensor == MONOCULAR
                     else cfg.tracking.kf_ref_ratio_stereo)
         if n_kf <= 2:
