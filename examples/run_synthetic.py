@@ -24,7 +24,10 @@ def main():
     ap.add_argument("--trajectory", default="xyz", choices=["xyz", "forward"])
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--save", default=None)
+    ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
+    import faulthandler
+    faulthandler.dump_traceback_later(600, repeat=True)
 
     sensor = dict(mono=config.MONOCULAR, rgbd=config.RGBD,
                   stereo=config.STEREO)[args.sensor]
@@ -46,10 +49,11 @@ def main():
             slam.track_rgbd(seq.images[f], seq.depths[f], seq.timestamps[f])
         else:
             slam.track_stereo(seq.images[f], right[f], seq.timestamps[f])
-        if f % 20 == 0:
-            st = int(slam.ts.status)
-            print(f"  frame {f}: status={st} kf={int(slam.state.n_kf)} "
-                  f"mp={int(slam.state.n_mp)}")
+        if args.verbose or f % 20 == 0:
+            h = slam.last_hud
+            print(f"  frame {f}: status={slam.status} inl={h[1]} "
+                  f"needkf={h[2]} kf={h[3]} mp={h[4]} "
+                  f"t={slam.timings[-1]*1000:.0f}ms", flush=True)
     wall = time.time() - t0
 
     est = slam.poses_twc()

@@ -197,6 +197,7 @@ class Capacity:
     max_points: int = 32768
     max_obs_per_kf: int = 1024      # == ORBConfig.max_keypoints
     max_obs_per_point: int = 16     # observer-table slots per map point
+    max_frames: int = 8192          # device-side trajectory log capacity
     local_window: int = 80          # local-map KF cap (Tracking.cc:1285)
     local_ba_kfs: int = 32          # local BA variable KFs (covisible set)
     local_ba_fixed: int = 32        # fixed anchor KFs

@@ -25,6 +25,13 @@ import jax.numpy as jnp
 _EPS = 1e-8
 
 
+def _safe_norm(x, axis=-1, keepdims=False):
+    """norm with NaN-free gradient at 0 (jnp.linalg.norm's grad at the
+    origin is NaN, which poisons jacfwd through exp/log maps at xi = 0)."""
+    sq = jnp.sum(x * x, axis=axis, keepdims=keepdims)
+    return jnp.sqrt(jnp.maximum(sq, 1e-24))
+
+
 # ---------------------------------------------------------------------------
 # Quaternion (SO3)
 # ---------------------------------------------------------------------------
@@ -35,7 +42,7 @@ def quat_identity(shape=()) -> jnp.ndarray:
 
 
 def quat_normalize(q: jnp.ndarray) -> jnp.ndarray:
-    n = jnp.linalg.norm(q, axis=-1, keepdims=True)
+    n = _safe_norm(q, keepdims=True)
     q = q / jnp.maximum(n, _EPS)
     # canonical sign: w >= 0
     return jnp.where(q[..., :1] < 0, -q, q)
@@ -101,7 +108,7 @@ def matrix_to_quat(R: jnp.ndarray) -> jnp.ndarray:
 
 def so3_exp(phi: jnp.ndarray) -> jnp.ndarray:
     """Axis-angle [..., 3] -> quaternion."""
-    theta = jnp.linalg.norm(phi, axis=-1, keepdims=True)
+    theta = _safe_norm(phi, keepdims=True)
     half = 0.5 * theta
     # sin(x)/x stable near 0
     k = jnp.where(theta > _EPS, jnp.sin(half) / jnp.maximum(theta, _EPS), 0.5)
@@ -114,7 +121,7 @@ def so3_log(q: jnp.ndarray) -> jnp.ndarray:
     q = quat_normalize(q)
     w = jnp.clip(q[..., :1], -1.0, 1.0)
     v = q[..., 1:]
-    n = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    n = _safe_norm(v, keepdims=True)
     theta = 2.0 * jnp.arctan2(n, w)
     k = jnp.where(n > _EPS, theta / jnp.maximum(n, _EPS), 2.0)
     return k * v
@@ -182,7 +189,7 @@ def se3_matrix(T: jnp.ndarray) -> jnp.ndarray:
 
 def _so3_left_jacobian(phi: jnp.ndarray) -> jnp.ndarray:
     """SO3 left Jacobian J_l(phi), [..., 3, 3]."""
-    theta = jnp.linalg.norm(phi, axis=-1)
+    theta = _safe_norm(phi)
     th2 = theta * theta
     W = hat(phi)
     W2 = W @ W
@@ -274,7 +281,7 @@ def sim3_exp(xi: jnp.ndarray) -> jnp.ndarray:
     rho, phi, sigma = xi[..., :3], xi[..., 3:6], xi[..., 6]
     q = so3_exp(phi)
     s = jnp.exp(sigma)
-    theta = jnp.linalg.norm(phi, axis=-1)
+    theta = _safe_norm(phi)
     W = hat(phi)
     W2 = W @ W
     I = jnp.broadcast_to(jnp.eye(3), W.shape)
@@ -305,3 +312,37 @@ def sim3_exp(xi: jnp.ndarray) -> jnp.ndarray:
 def sim3_retract(S: jnp.ndarray, xi: jnp.ndarray) -> jnp.ndarray:
     """exp(xi) * S (left-multiplied update, matching VertexSim3Expmap)."""
     return sim3_compose(sim3_exp(xi), S)
+
+
+def _sim3_V(phi: jnp.ndarray, sigma: jnp.ndarray) -> jnp.ndarray:
+    """The translation Jacobian V(phi, sigma) used by sim3_exp: t = V rho."""
+    s = jnp.exp(sigma)
+    theta = _safe_norm(phi)
+    W = hat(phi)
+    W2 = W @ W
+    I = jnp.broadcast_to(jnp.eye(3), W.shape)
+    eps = 1e-5
+    th2 = jnp.maximum(theta * theta, _EPS)
+    small_sig = jnp.abs(sigma) < eps
+    small_th = theta < eps
+    A = jnp.where(small_sig, 1.0 + sigma / 2.0,
+                  (s - 1.0) / jnp.where(small_sig, 1.0, sigma))
+    c0 = jnp.cos(theta)
+    s0 = jnp.sin(theta)
+    denom = jnp.maximum(sigma * sigma + th2, _EPS)
+    a_gen = (s * s0 * sigma + (1.0 - s * c0) * theta) / jnp.maximum(theta * denom, _EPS)
+    b_gen = (A - ((s * c0 - 1.0) * sigma + s * s0 * theta) / denom) / th2
+    a_sig0 = (1.0 - c0) / th2
+    b_sig0 = (theta - s0) / jnp.maximum(th2 * theta, _EPS)
+    B = jnp.where(small_sig, a_sig0, jnp.where(small_th, 0.5 * A, a_gen))
+    C = jnp.where(small_sig, b_sig0, jnp.where(small_th, A / 6.0, b_gen))
+    return A[..., None, None] * I + B[..., None, None] * W + C[..., None, None] * W2
+
+
+def sim3_log(S: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of sim3_exp: Sim3 -> tangent [..., 7] = [rho, phi, sigma]."""
+    phi = so3_log(sim3_q(S))
+    sigma = jnp.log(jnp.maximum(sim3_s(S), _EPS))
+    V = _sim3_V(phi, sigma)
+    rho = jnp.linalg.solve(V, sim3_t(S)[..., None])[..., 0]
+    return jnp.concatenate([rho, phi, sigma[..., None]], axis=-1)

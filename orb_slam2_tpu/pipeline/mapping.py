@@ -206,3 +206,98 @@ def cull_points(state: MapState, kf_id, cfg: SLAMConfig) -> MapState:
     # points older than 3 KFs are out of the probation window
     bad = bad & (age <= 3)
     return ops.cull_points(state, bad)
+
+
+def fuse_neighbors(state: MapState, kf_id, cfg: SLAMConfig,
+                   n_neighbors: int = 8) -> MapState:
+    """Two-way map-point fusion with covisible neighbors (reference
+    LocalMapping::SearchInNeighbors, LocalMapping.cc:454-534 +
+    ORBmatcher::Fuse, ORBmatcher.cc:825-975).
+
+    Direction A: project the new KF's points into each neighbor; where a
+    neighbor keypoint matches (radius/scale/descriptor gates), either add the
+    observation (keypoint free) or merge the two points (keypoint already has
+    one: the point with fewer observations forwards to the other).
+    Direction B: the symmetric pass, neighbors' points into the new KF.
+    Afterwards refresh descriptors/normals and the covisibility row.
+    """
+    K = camera.intrinsics(cfg.camera)
+    sf = cfg.orb.scale_factor
+    N = state.kf_obs.shape[1]
+    M = state.mp_pos.shape[0]
+    radius_base = cfg.mapping.fuse_radius
+
+    neighbors = covisible_neighbors(state, kf_id, n_neighbors, min_weight=15)
+
+    def fuse_into(state, src_kf, dst_kf, valid_pair):
+        """Project src_kf's points into dst_kf and fuse."""
+        from orb_slam2_tpu.pipeline.tracking import predict_scale
+        src = jnp.clip(src_kf, 0, None)
+        dst = jnp.clip(dst_kf, 0, None)
+        pids = state.kf_obs[src]                      # [N]
+        safe = jnp.clip(pids, 0, None)
+        pt_ok = valid_pair & (pids >= 0) & state.mp_valid[safe]
+        pw = state.mp_pos[safe]
+        T = state.kf_pose[dst]
+        pc = lie.se3_apply(T, pw)
+        uv = camera.project(K, pc)
+        bounds = jnp.asarray([0.0, cfg.camera.width, 0.0, cfg.camera.height])
+        d = jnp.linalg.norm(pw + lie.quat_rotate(
+            lie.quat_conj(T[:4]), T[4:7]), axis=-1)
+        band = (d >= 0.8 * state.mp_min_dist[safe]) & \
+               (d <= 1.2 * state.mp_max_dist[safe])
+        vcos = jnp.sum((pw + lie.quat_rotate(lie.quat_conj(T[:4]), T[4:7])) *
+                       state.mp_normal[safe], -1) / jnp.maximum(d, 1e-9)
+        pt_ok = pt_ok & (pc[:, 2] > 0) & camera.in_image(uv, bounds) & \
+            band & (vcos > 0.5)
+        pred = predict_scale(d, state.mp_max_dist[safe], sf, cfg.orb.n_levels)
+        radius = radius_base * sf ** pred.astype(jnp.float32)
+
+        dist = hamming.hamming_matrix(state.mp_desc[safe], state.kf_desc[dst])
+        gate = search.window_gate(uv, state.kf_uv[dst], radius)
+        gate = gate & search.octave_gate(pred, state.kf_octave[dst], -1, 1)
+        res = search.match_descriptors(dist, gate, cfg.match.th_low, None,
+                                       pt_ok, state.kf_kp_valid[dst])
+        matched = res.idx >= 0
+        kp = jnp.clip(res.idx, 0, None)
+        existing = state.kf_obs[dst][kp]              # point already there?
+        # chi2 gate (reference: 5.99 mono) on reprojection
+        err = jnp.sum((state.kf_uv[dst][kp] - uv) ** 2, -1)
+        sig2 = (sf ** state.kf_octave[dst][kp].astype(jnp.float32)) ** 2
+        matched = matched & (err / sig2 < 5.99)
+
+        src_pid = jnp.where(matched, pids, -1)
+        # case 1: free keypoint -> add observation
+        add_case = matched & (existing < 0)
+        # one point may project onto the same dst kp from... kp unique by
+        # resolve_duplicates; one src point -> one kp.
+        state = ops.add_obs(state, dst, kp, jnp.where(add_case, src_pid, -1))
+        # case 2: merge. keep the point with more observations
+        merge_case = matched & (existing >= 0) & (existing != src_pid) & \
+            state.mp_valid[jnp.clip(existing, 0, None)]
+        cnt = point_obs_count(state)
+        src_bigger = cnt[jnp.clip(src_pid, 0, None)] >= \
+            cnt[jnp.clip(existing, 0, None)]
+        loser = jnp.where(src_bigger, existing, src_pid)
+        winner = jnp.where(src_bigger, src_pid, existing)
+        src_arr = jnp.full((M,), -1, jnp.int32)
+        dst_arr = jnp.full((M,), -1, jnp.int32)
+        lsafe = jnp.where(merge_case, loser, M - 1)
+        # guard: don't let a point replace itself or double-assign
+        src_arr = src_arr.at[lsafe].set(jnp.where(merge_case, loser, -1))
+        dst_arr = dst_arr.at[lsafe].set(jnp.where(merge_case, winner, -1))
+        src_arr = jnp.where(src_arr == jnp.arange(M), src_arr, -1)
+        state = ops.replace_points(state, src_arr, dst_arr)
+        return state
+
+    for s in range(n_neighbors):
+        nb = neighbors[s]
+        ok = nb >= 0
+        state = fuse_into(state, kf_id, nb, ok)      # new KF points -> nb
+        state = fuse_into(state, nb, kf_id, ok)      # nb points -> new KF
+    from orb_slam2_tpu.pipeline.init import pids_mask_from
+    state = ops.update_point_attributes(
+        state, state.mp_valid, cfg.orb.scale_factor, cfg.orb.n_levels)
+    from orb_slam2_tpu.map.state import update_covisibility_for_kf
+    state = update_covisibility_for_kf(state, kf_id)
+    return state

@@ -54,6 +54,13 @@ class TrackState(NamedTuple):
     init_kp_valid: jnp.ndarray  # [N]
     init_frame_id: jnp.ndarray  # i32
     init_timestamp: jnp.ndarray  # f32
+    # device-side trajectory log (downloaded once at export time; avoids the
+    # per-frame device->host sync that dominates through the TPU tunnel)
+    traj_T: jnp.ndarray       # [F, 7] per-frame Tcw
+    traj_rel: jnp.ndarray     # [F, 7] Tcr relative to reference KF
+    traj_ref: jnp.ndarray     # [F] i32 reference KF id
+    traj_ok: jnp.ndarray      # [F] bool frame tracked
+    traj_t: jnp.ndarray       # [F] f32 timestamps
 
 
 def empty_track_state(cfg: SLAMConfig) -> TrackState:
@@ -80,7 +87,28 @@ def empty_track_state(cfg: SLAMConfig) -> TrackState:
         init_kp_valid=jnp.zeros((N,), bool),
         init_frame_id=jnp.asarray(-1, jnp.int32),
         init_timestamp=jnp.asarray(0.0, jnp.float32),
+        traj_T=jnp.zeros((cfg.cap.max_frames, 7), jnp.float32).at[:, 0].set(1.0),
+        traj_rel=jnp.zeros((cfg.cap.max_frames, 7), jnp.float32).at[:, 0].set(1.0),
+        traj_ref=jnp.full((cfg.cap.max_frames,), -1, jnp.int32),
+        traj_ok=jnp.zeros((cfg.cap.max_frames,), bool),
+        traj_t=jnp.zeros((cfg.cap.max_frames,), jnp.float32),
     )
+
+
+def record_traj(state: MapState, ts: TrackState, frame: Frame,
+                ok) -> TrackState:
+    """Log this frame's pose on device (reference trajectory bookkeeping,
+    Tracking.cc:488-504: store Tcr = Tcw * Twr so later KF optimization
+    benefits exported frames)."""
+    i = jnp.clip(frame.frame_id, 0, ts.traj_T.shape[0] - 1)
+    ref = jnp.clip(ts.ref_kf, 0, None)
+    rel = lie.se3_compose(ts.T, lie.se3_inverse(state.kf_pose[ref]))
+    return ts._replace(
+        traj_T=ts.traj_T.at[i].set(ts.T),
+        traj_rel=ts.traj_rel.at[i].set(rel),
+        traj_ref=ts.traj_ref.at[i].set(ts.ref_kf),
+        traj_ok=ts.traj_ok.at[i].set(ok),
+        traj_t=ts.traj_t.at[i].set(frame.timestamp))
 
 
 # ---------------------------------------------------------------------------
@@ -226,18 +254,27 @@ def track_local_map(state: MapState, ts: TrackState, frame: Frame,
     th = jnp.where(after_reloc, 5.0, 1.0)
     radius = r_base * th * cfg.orb.scale_factor ** pred_oct.astype(jnp.float32)
 
+    # compact the candidate set to a fixed window: [M, N] gate masks over the
+    # full point capacity are HBM-bound; the frustum rarely holds more than a
+    # few thousand points, so gather them into P slots first.
+    P = min(4096, M)
+    searchable = visible & ~already
+    order = jnp.argsort(~searchable)          # visible-first, stable
+    sel = order[:P]
+    sel_ok = searchable[sel]
+
     res = search.search_by_projection(
-        uv_pred, pred_oct, state.mp_desc, visible & ~already,
+        uv_pred[sel], pred_oct[sel], state.mp_desc[sel], sel_ok,
         frame.uv, frame.octave, frame.desc, frame.angle,
         frame.valid & (cur_pids < 0),
-        radius, max_dist=cfg.match.th_high, ratio=cfg.match.nn_ratio_local,
-        oct_lo=-1, oct_hi=0)
+        radius[sel], max_dist=cfg.match.th_high,
+        ratio=cfg.match.nn_ratio_local, oct_lo=-1, oct_hi=0)
 
     N = frame.uv.shape[0]
     tgt = jnp.where(res.idx >= 0, res.idx, N)
     add_pids = jnp.concatenate([jnp.full((N,), -1, jnp.int32),
                                 jnp.full((1,), -1, jnp.int32)]).at[
-        tgt].set(jnp.where(res.idx >= 0, jnp.arange(M), -1))[:N]
+        tgt].set(jnp.where(res.idx >= 0, sel, -1))[:N]
     cur_pids = jnp.where(cur_pids >= 0, cur_pids, add_pids)
 
     opt = _pose_opt_from_pids(state, frame, cur_pids,
@@ -255,3 +292,96 @@ def track_local_map(state: MapState, ts: TrackState, frame: Frame,
                         cfg.tracking.min_inliers_local_map)
     ok = opt.n_inliers >= min_inl
     return state, cur_pids, opt, ok
+
+
+# ---------------------------------------------------------------------------
+# fused per-frame step (single jit call per frame)
+# ---------------------------------------------------------------------------
+
+# HUD indices (the one small int32 vector downloaded per frame)
+HUD_STATUS = 0
+HUD_N_INLIERS = 1
+HUD_NEED_KF = 2
+HUD_N_KF = 3
+HUD_N_MP = 4
+HUD_LEN = 5
+
+
+def build_track_step(cfg: SLAMConfig):
+    """Returns a jittable fused per-frame step:
+
+        (state, ts, frame) -> (state, ts, hud [HUD_LEN] i32)
+
+    covering TrackWithMotionModel / TrackReferenceKeyFrame fallback /
+    TrackLocalMap / velocity+bookkeeping updates / NeedNewKeyFrame — the
+    whole per-frame path of reference Tracking::Track (Tracking.cc:267-506)
+    in one XLA program, with zero intermediate host synchronization."""
+    from orb_slam2_tpu.map.state import point_obs_count
+
+    def step(state: MapState, ts: TrackState, frame: Frame):
+        # --- phase 1: motion-model or reference-KF tracking ---
+        def do_motion(_):
+            pids, opt, ok = track_with_motion_model(state, ts, frame, cfg)
+            return pids, opt.T, opt.n_inliers, ok
+
+        def do_ref(_):
+            pids, opt, ok = track_reference_keyframe(state, ts, frame, cfg)
+            return pids, opt.T, opt.n_inliers, ok
+
+        pids_m, T_m, ninl_m, ok_m = jax.lax.cond(
+            ts.has_velocity, do_motion, do_ref, None)
+        # fallback to reference-KF tracking if motion-model failed
+        pids, T, ninl, ok1 = jax.lax.cond(
+            ok_m, lambda _: (pids_m, T_m, ninl_m, ok_m), do_ref, None)
+
+        # --- phase 2: local map tracking ---
+        after_reloc = (frame.frame_id - ts.last_reloc_frame_id) < \
+            cfg.tracking.reloc_recent_window
+        state2, pids2, opt2, ok2 = track_local_map(
+            state, ts, frame, T, pids, cfg, after_reloc)
+        ok = ok1 & ok2
+        state = jax.tree.map(lambda a, b: jnp.where(ok, b, a), state, state2)
+        T = jnp.where(ok, opt2.T, ts.T)
+        cur_pids = jnp.where(ok, pids2, -1)
+
+        # --- phase 3: bookkeeping ---
+        velocity = lie.se3_compose(T, lie.se3_inverse(ts.last_T))
+        new_ts = ts._replace(
+            status=jnp.where(ok, OK, LOST).astype(jnp.int32),
+            T=T,
+            velocity=jnp.where(ok, velocity, ts.velocity),
+            has_velocity=ok,
+            last_T=jnp.where(ok, T, ts.last_T),
+            last_pids=jnp.where(ok, cur_pids, ts.last_pids),
+            last_uv=jnp.where(ok, frame.uv, ts.last_uv),
+            last_octave=jnp.where(ok, frame.octave, ts.last_octave),
+            last_angle=jnp.where(ok, frame.angle, ts.last_angle),
+            last_valid=jnp.where(ok, frame.valid, ts.last_valid))
+
+        # --- phase 4: keyframe decision (reference Tracking.cc:977-1061) ---
+        n_kf = state.n_kf
+        min_obs = jnp.where(n_kf <= 2, 2, cfg.tracking.kf_min_obs)
+        cnt = point_obs_count(state)
+        robs = state.kf_obs[jnp.clip(ts.ref_kf, 0, None)]
+        n_ref = jnp.sum(((robs >= 0) &
+                         (cnt[jnp.clip(robs, 0, None)] >= min_obs)).astype(jnp.int32))
+        th_ratio = (cfg.tracking.kf_ref_ratio_mono if cfg.sensor == 0
+                    else cfg.tracking.kf_ref_ratio_stereo)
+        frames_since = frame.frame_id - ts.last_kf_frame_id
+        n_inliers = opt2.n_inliers
+        c1a = frames_since >= cfg.tracking.max_frames_hint
+        c2 = (n_inliers < n_ref * th_ratio) & (n_inliers > 15)
+        room = state.next_kf < state.kf_valid.shape[0] - 2
+        need_kf = ok & room & (c1a | c2)
+
+        new_ts = record_traj(state, new_ts, frame, ok)
+
+        hud = jnp.stack([
+            jnp.where(ok, OK, LOST).astype(jnp.int32),
+            n_inliers.astype(jnp.int32),
+            need_kf.astype(jnp.int32),
+            n_kf.astype(jnp.int32),
+            state.n_mp.astype(jnp.int32)])
+        return state, new_ts, cur_pids, hud
+
+    return step
