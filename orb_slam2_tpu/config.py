@@ -78,6 +78,10 @@ class TrackingConfig:
     min_inliers_local_map_reloc: int = 50  # within 1s of reloc (Tracking.cc:962)
     max_frames_hint: int = 30       # mMaxFrames = fps (Tracking.cc:83)
     min_frames: int = 0             # mMinFrames (Tracking.cc:84)
+    # deterministic replacement for the reference's LocalMapping-idle
+    # keyframe throttle (Tracking.cc:999,1050): minimum frame gap between
+    # keyframes when inserting on the tracked-ratio condition
+    min_kf_gap: int = 3
     # NeedNewKeyFrame: thRefRatio per sensor (Tracking.cc:1022-1026)
     kf_ref_ratio_stereo: float = 0.75
     kf_ref_ratio_mono: float = 0.9

@@ -49,6 +49,8 @@ class MapState(NamedTuple):
     # --- covisibility ---
     covis: jnp.ndarray        # [K, K] i32 shared-observation counts
     loop_edge: jnp.ndarray    # [K, K] bool loop-closure edges
+    # --- place recognition ---
+    kf_bow: jnp.ndarray       # [K, W] f32 L1-normalized TF-IDF BoW vectors
     # --- map points (capacity M) ---
     mp_pos: jnp.ndarray       # [M, 3]
     mp_valid: jnp.ndarray     # [M] bool
@@ -100,6 +102,8 @@ def empty_map(cfg: SLAMConfig) -> MapState:
         kf_obs=jnp.full((K, N), -1, i32),
         covis=jnp.zeros((K, K), i32),
         loop_edge=jnp.zeros((K, K), bool),
+        kf_bow=jnp.zeros(
+            (K, cfg.vocab.branching ** cfg.vocab.depth), jnp.float32),
         mp_pos=jnp.zeros((M, 3), f32),
         mp_valid=jnp.zeros((M,), bool),
         mp_desc=jnp.zeros((M, 32), jnp.uint8),

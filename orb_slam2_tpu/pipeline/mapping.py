@@ -209,7 +209,7 @@ def cull_points(state: MapState, kf_id, cfg: SLAMConfig) -> MapState:
 
 
 def fuse_neighbors(state: MapState, kf_id, cfg: SLAMConfig,
-                   n_neighbors: int = 8) -> MapState:
+                   n_neighbors: int = 4) -> MapState:
     """Two-way map-point fusion with covisible neighbors (reference
     LocalMapping::SearchInNeighbors, LocalMapping.cc:454-534 +
     ORBmatcher::Fuse, ORBmatcher.cc:825-975).

@@ -40,7 +40,8 @@ class SLAM:
         slam.save_trajectory_tum("traj.txt")
     """
 
-    def __init__(self, cfg: SLAMConfig):
+    def __init__(self, cfg: SLAMConfig, vocab_path: Optional[str] = None,
+                 enable_loop_closing: bool = True):
         self.cfg = cfg
         self.state = empty_map(cfg)
         self.ts = tracking.empty_track_state(cfg)
@@ -49,6 +50,20 @@ class SLAM:
         self.last_hud = np.zeros(8, np.int32)
         self.timings: List[float] = []
         self._key = jax.random.PRNGKey(0)
+        self.enable_loop = enable_loop_closing
+        self.last_loop_kf = -100
+        self.localization_only = False
+
+        # vocabulary (reference loads ORBvoc.txt at startup, System.cc:62;
+        # we ship a trained default, see place/vocab.py)
+        import os
+        from orb_slam2_tpu.place.vocab import Vocabulary, build_transform
+        default_vocab = os.path.join(os.path.dirname(__file__), "..",
+                                     "data", "vocab_default.npz")
+        path = vocab_path or default_vocab
+        self.vocab = Vocabulary.load(path) if os.path.exists(path) else None
+        self._transform = (build_transform(self.vocab)
+                           if self.vocab is not None else None)
 
         if cfg.sensor == MONOCULAR:
             self._frame_fn = jax.jit(frame_mod.build_mono_frame_fn(cfg))
@@ -92,6 +107,25 @@ class SLAM:
                                           n_cg=40))
         self._record = jax.jit(record_traj)
 
+        # place recognition / loop closing / relocalization
+        if self._transform is not None:
+            from orb_slam2_tpu.pipeline import loopclosing, reloc
+
+            def set_bow(state, kf_id, desc, valid):
+                bow, _, _ = self._transform(desc, valid)
+                return state._replace(kf_bow=state.kf_bow.at[kf_id].set(bow))
+
+            self._set_bow = jax.jit(set_bow)
+            self._loop_detect = jax.jit(
+                lambda st, k: loopclosing.detect(st, k, cfg))
+            self._loop_verify = jax.jit(
+                lambda st, k, c, key: loopclosing.verify(st, k, c, key, cfg))
+            self._loop_correct = jax.jit(
+                lambda st, k, c, S, lp: loopclosing.correct(st, k, c, S, lp, cfg))
+            self._reloc_step = jax.jit(reloc.build_reloc_step(cfg, self._transform))
+            self._consistency = loopclosing.ConsistencyTracker(
+                cfg.loop.covisibility_consistency_th)
+
     # ------------------------------------------------------------------
     def track_mono(self, img: np.ndarray, timestamp: float):
         frame = self._frame_fn(jnp.asarray(img, jnp.float32),
@@ -129,6 +163,9 @@ class SLAM:
                     self.state, self.ts, frame)
                 self.ts = self._record(self.state, self.ts, frame,
                                        jnp.asarray(True))
+                if self._transform is not None:
+                    self.state = self._set_bow(self.state, self.ts.ref_kf,
+                                               frame.desc, frame.valid)
                 self.status = OK
             return
         if not bool(self.ts.init_valid_frame):
@@ -145,6 +182,8 @@ class SLAM:
         state, ts, ok = self._create_mono_map(self.state, self.ts, frame,
                                               match.idx, sub)
         if bool(ok):
+            init_desc = self.ts.init_desc
+            init_valid = self.ts.init_kp_valid
             self.state, self.ts = state, ts
             # refine the fresh two-KF map: triangulate extra matches + GBA(20)
             # (reference Tracking.cc:686)
@@ -154,6 +193,11 @@ class SLAM:
             self.ts = self.ts._replace(T=T1, last_T=T1)
             self.ts = self._record(self.state, self.ts, frame,
                                    jnp.asarray(True))
+            if self._transform is not None:
+                self.state = self._set_bow(self.state, jnp.asarray(k1 - 1),
+                                           init_desc, init_valid)
+                self.state = self._set_bow(self.state, jnp.asarray(k1),
+                                           frame.desc, frame.valid)
             self.status = OK
         else:
             self.ts = self._store_init(self.ts, frame)
@@ -168,10 +212,75 @@ class SLAM:
         if self.status != OK:
             if int(hud[HUD_N_KF]) <= 5:
                 self.reset()
+            elif self._transform is not None:
+                self._relocalize(frame)
             return
-        if hud[HUD_NEED_KF]:
+        if hud[HUD_NEED_KF] and not self.localization_only:
             self.state, self.ts = self._keyframe_step(
                 self.state, self.ts, frame, cur_pids)
+            kf_id = int(self.ts.ref_kf)
+            if self._transform is not None:
+                self.state = self._set_bow(self.state, self.ts.ref_kf,
+                                           frame.desc, frame.valid)
+                if self.enable_loop:
+                    self._try_close_loop(kf_id)
+
+    # ------------------------------------------------------------------
+    def _try_close_loop(self, kf_id: int):
+        """Loop detection -> temporal consistency -> Sim3 verify -> correct
+        (reference LoopClosing::Run, LoopClosing.cc:57-88)."""
+        cfg = self.cfg
+        if kf_id - self.last_loop_kf < cfg.loop.min_kfs_since_last:
+            return  # LoopClosing.cc:114
+        ids, groups = self._loop_detect(self.state, jnp.asarray(kf_id))
+        ids = np.asarray(ids)
+        if (ids < 0).all():
+            self._consistency.reset()
+            return
+        consistent = self._consistency.update(ids, np.asarray(groups))
+        for cand in consistent[:2]:
+            self._key, sub = jax.random.split(self._key)
+            ok, Scm, loop_pids, stats = self._loop_verify(
+                self.state, jnp.asarray(kf_id), jnp.asarray(cand), sub)
+            if bool(ok):
+                self.state = self._loop_correct(
+                    self.state, jnp.asarray(kf_id), jnp.asarray(cand),
+                    Scm, loop_pids)
+                # run GBA after the pose-graph (LoopClosing.cc:576-579)
+                self.state = self._global_ba(self.state)
+                T_new = self.state.kf_pose[kf_id]
+                self.ts = self.ts._replace(T=T_new, last_T=T_new,
+                                           has_velocity=jnp.asarray(False))
+                self.last_loop_kf = kf_id
+                self._consistency.reset()
+                break
+
+    # ------------------------------------------------------------------
+    def _relocalize(self, frame):
+        """Reference Tracking::Relocalization (Tracking.cc:1341-1502)."""
+        self._key, sub = jax.random.split(self._key)
+        ok, T, pids, cand = self._reloc_step(self.state, frame, sub)
+        if not bool(ok):
+            return False
+        self.ts = self.ts._replace(
+            status=jnp.asarray(OK, jnp.int32), T=T, last_T=T,
+            has_velocity=jnp.asarray(False),
+            last_pids=pids, last_uv=frame.uv, last_octave=frame.octave,
+            last_angle=frame.angle, last_valid=frame.valid,
+            ref_kf=jnp.asarray(int(cand), jnp.int32),
+            last_reloc_frame_id=frame.frame_id)
+        self.ts = self._record(self.state, self.ts, frame, jnp.asarray(True))
+        self.status = OK
+        return True
+
+    # ------------------------------------------------------------------
+    def activate_localization_mode(self):
+        """Reference System::ActivateLocalizationMode (System.cc:270): track
+        against the frozen map, no keyframe insertion / mapping."""
+        self.localization_only = True
+
+    def deactivate_localization_mode(self):
+        self.localization_only = False
 
     # ------------------------------------------------------------------
     def reset(self):

@@ -371,8 +371,9 @@ def build_track_step(cfg: SLAMConfig):
         n_inliers = opt2.n_inliers
         c1a = frames_since >= cfg.tracking.max_frames_hint
         c2 = (n_inliers < n_ref * th_ratio) & (n_inliers > 15)
+        gap_ok = frames_since >= cfg.tracking.min_kf_gap
         room = state.next_kf < state.kf_valid.shape[0] - 2
-        need_kf = ok & room & (c1a | c2)
+        need_kf = ok & room & (c1a | (c2 & gap_ok))
 
         new_ts = record_traj(state, new_ts, frame, ok)
 
