@@ -62,7 +62,8 @@ class SLAM:
                                      "data", "vocab_default.npz")
         path = vocab_path or default_vocab
         self.vocab = Vocabulary.load(path) if os.path.exists(path) else None
-        self._transform = (build_transform(self.vocab)
+        bow_cap = cfg.vocab.branching ** cfg.vocab.depth
+        self._transform = (build_transform(self.vocab, pad_to=bow_cap)
                            if self.vocab is not None else None)
 
         if cfg.sensor == MONOCULAR:

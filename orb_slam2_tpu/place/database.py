@@ -23,6 +23,17 @@ class CandidateResult(NamedTuple):
     scores: jnp.ndarray  # [C] their accumulated-group scores
 
 
+def _top_k_pad(x: jnp.ndarray, k: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """top_k along the last axis, padded with -inf/-1 when k exceeds the axis."""
+    n = x.shape[-1]
+    vals, idx = jax.lax.top_k(x, min(k, n))
+    if k > n:
+        pad = [(0, 0)] * (x.ndim - 1) + [(0, k - n)]
+        vals = jnp.pad(vals, pad, constant_values=-jnp.inf)
+        idx = jnp.pad(idx, pad, constant_values=-1)
+    return vals, idx
+
+
 def detect_loop_candidates(kf_bow: jnp.ndarray, kf_valid: jnp.ndarray,
                            covis: jnp.ndarray, query: jnp.ndarray,
                            query_bow: jnp.ndarray, min_score: jnp.ndarray,
@@ -51,7 +62,7 @@ def detect_loop_candidates(kf_bow: jnp.ndarray, kf_valid: jnp.ndarray,
     # members that are themselves candidates; the group is represented by
     # its best-scoring member.
     w = jnp.where(kf_valid[None, :] & kf_valid[:, None], covis, 0)
-    top_w, top_idx = jax.lax.top_k(w, 10)               # [K, 10]
+    top_w, top_idx = jax.lax.top_k(w, min(10, K))       # [K, <=10]
     in_group = top_w > 0
     member_scores = jnp.where(cand[top_idx] & in_group, scores[top_idx], 0.0)
     acc = jnp.where(cand, scores, 0.0) + jnp.sum(member_scores, axis=1)
@@ -74,7 +85,7 @@ def detect_loop_candidates(kf_bow: jnp.ndarray, kf_valid: jnp.ndarray,
     seen = jnp.full((K + 1,), -jnp.inf).at[
         jnp.where(rep >= 0, rep, K)].max(rep_score)[:K]
     uniq_score = jnp.where(jnp.arange(K) >= 0, seen, -jnp.inf)
-    top_s, top_i = jax.lax.top_k(uniq_score, n_out)
+    top_s, top_i = _top_k_pad(uniq_score, n_out)
     ids = jnp.where(jnp.isfinite(top_s), top_i, -1).astype(jnp.int32)
     return CandidateResult(ids=ids, scores=top_s)
 
@@ -96,7 +107,7 @@ def detect_reloc_candidates(kf_bow: jnp.ndarray, kf_valid: jnp.ndarray,
     cand = ok & (sw > min_cw) & (sw > 0)
 
     w = jnp.where(kf_valid[None, :] & kf_valid[:, None], covis, 0)
-    top_w, top_idx = jax.lax.top_k(w, 10)
+    top_w, top_idx = jax.lax.top_k(w, min(10, K))
     in_group = top_w > 0
     member_scores = jnp.where(cand[top_idx] & in_group, scores[top_idx], 0.0)
     acc = jnp.where(cand, scores, 0.0) + jnp.sum(member_scores, axis=1)
@@ -113,6 +124,6 @@ def detect_reloc_candidates(kf_bow: jnp.ndarray, kf_valid: jnp.ndarray,
     rep_score = jnp.where(keep, acc, -jnp.inf)
     seen = jnp.full((K + 1,), -jnp.inf).at[
         jnp.where(rep >= 0, rep, K)].max(rep_score)[:K]
-    top_s, top_i = jax.lax.top_k(seen[:K], n_out)
+    top_s, top_i = _top_k_pad(seen[:K], n_out)
     ids = jnp.where(jnp.isfinite(top_s), top_i, -1).astype(jnp.int32)
     return CandidateResult(ids=ids, scores=top_s)

@@ -144,11 +144,18 @@ def train_vocabulary(descriptors: np.ndarray, k: int = 10, depth: int = 4,
 # transform + scoring (jittable)
 # ---------------------------------------------------------------------------
 
-def build_transform(vocab: Vocabulary):
+def build_transform(vocab: Vocabulary, pad_to: Optional[int] = None):
     """Returns a jittable fn: (desc [N, 32] u8, valid [N]) ->
     (bow [W] f32 L1-normalized TF-IDF, word [N] i32, node_lu [N] i32)
     where node_lu is the tree node `levels_up` above the leaf (the
-    FeatureVector grouping key, TemplatedVocabulary.h:1160)."""
+    FeatureVector grouping key, TemplatedVocabulary.h:1160).
+
+    `pad_to` zero-pads the bow vector to a fixed width: trained trees have
+    n_words <= k**depth leaves (unbalanced branches), while the map state
+    allocates kf_bow at the k**depth capacity."""
+    if pad_to is not None and vocab.n_words > pad_to:
+        raise ValueError(
+            f"vocabulary has {vocab.n_words} words > pad_to={pad_to}")
     children = jnp.asarray(vocab.node_children)
     ndesc = jnp.asarray(vocab.node_desc)
     wid = jnp.asarray(vocab.word_id)
@@ -188,6 +195,8 @@ def build_transform(vocab: Vocabulary):
             weight[jnp.clip(word, 0, W - 1)] * word_ok)[:W]
         norm = jnp.sum(jnp.abs(bow))
         bow = bow / jnp.maximum(norm, 1e-12)
+        if pad_to is not None and pad_to > W:
+            bow = jnp.pad(bow, (0, pad_to - W))
         return bow, jnp.where(word_ok, word, -1), node_lu
 
     return transform
