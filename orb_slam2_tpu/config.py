@@ -123,6 +123,11 @@ class MappingConfig:
     epipolar_chi2_stereo: float = 7.8   # (LocalMapping.cc:376)
     scale_consistency: float = 1.5   # ratioFactor = 1.5*scaleFactor (LocalMapping.cc:238)
     fuse_radius: float = 3.0         # SearchInNeighbors Fuse default th (ORBmatcher.h:75)
+    # SearchInNeighbors covisible targets (reference: 20 mono / 10 stereo
+    # first-order + up to 5 second-order each, LocalMapping.cc:457-476; here
+    # the fuse is two-way per neighbor so first-order-only with 8 targets
+    # gives comparable merge coverage at a fraction of the cost)
+    fuse_neighbors: int = 8
 
 
 @dataclasses.dataclass(frozen=True)

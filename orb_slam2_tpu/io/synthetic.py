@@ -84,51 +84,94 @@ def forward_trajectory(n_frames: int, speed=0.08, yaw_rate=0.002) -> np.ndarray:
     return poses
 
 
+def loop_trajectory(n_frames: int, radius=1.2) -> np.ndarray:
+    """Closed circular path with yaw so the camera revisits its start —
+    exercises loop closing."""
+    poses = np.zeros((n_frames, 7))
+    for i in range(n_frames):
+        s = 2 * np.pi * i / n_frames
+        t = np.array([radius * np.sin(s), 0.0, radius * (1 - np.cos(s))])
+        q = _quat_from_axis_angle([0, 1, 0], s * 0.15)  # mild yaw
+        poses[i, :4] = q / np.linalg.norm(q)
+        poses[i, 4:] = t
+    return poses
+
+
+def _plane_texture(rng, th: int, tw: int) -> np.ndarray:
+    """Smooth, ORB-friendly texture: low-frequency blobs + mid-frequency
+    detail, mildly blurred — locally coherent intensity structure with
+    stable intensity centroids (like real-world surfaces), unlike
+    discontinuous random blocks which destabilize the IC angle for any ORB
+    implementation (verified against cv2.ORB)."""
+    import cv2
+    g = rng.rand(th // 12 + 2, tw // 12 + 2).astype(np.float32)
+    tex = cv2.resize(g, (tw, th), interpolation=cv2.INTER_CUBIC) * 150
+    d = rng.rand(th // 4 + 2, tw // 4 + 2).astype(np.float32)
+    tex += cv2.resize(d, (tw, th), interpolation=cv2.INTER_CUBIC) * 60
+    tex = cv2.GaussianBlur(tex, (0, 0), 1.0)
+    t0, t1 = tex.min(), tex.max()
+    return (tex - t0) / max(t1 - t0, 1e-6) * 195.0 + 30.0
+
+
 def generate(cam: CameraConfig, n_frames: int = 120, n_points: int = 600,
              trajectory: str = "xyz", seed: int = 0,
-             depth_range=(2.0, 8.0), sprite=25) -> SyntheticSequence:
+             depth_range=(2.0, 8.0), sprite=25,
+             noise_sigma: float = 1.0) -> SyntheticSequence:
+    """Render a textured room (5 planes, ray-cast with a z-buffer).
+
+    Local patches move coherently (each lies on one plane) so feature
+    descriptors behave as on real imagery; parallax between planes provides
+    the depth structure mono initialization and BA need.  `n_points` ground
+    truth landmark samples are drawn on the plane surfaces for diagnostics.
+    """
+    import cv2
     rng = np.random.RandomState(seed)
     H, W = cam.height, cam.width
     fx, fy, cx, cy = cam.fx, cam.fy, cam.cx, cam.cy
 
     if trajectory == "xyz":
         twc = xyz_trajectory(n_frames)
+    elif trajectory == "loop":
+        twc = loop_trajectory(n_frames)
     else:
         twc = forward_trajectory(n_frames)
 
-    # landmarks spread over the viewing volume of the whole trajectory
-    z = rng.uniform(*depth_range, n_points)
-    u = rng.uniform(-0.2 * W, 1.2 * W, n_points)
-    v = rng.uniform(-0.2 * H, 1.2 * H, n_points)
-    pts = np.stack([(u - cx) / fx * z, (v - cy) / fy * z, z], -1)
+    # room planes: (point p0, normal n, u-axis, v-axis) — the camera starts
+    # at the origin looking +z.  Side walls / floor / ceiling sit close
+    # enough to enter the frustum, giving a broad depth mix (strong parallax
+    # structure for initialization and BA).
+    zf = depth_range[1]                 # back wall distance
+    zn = depth_range[0]
+    ex = zn * (W / 2) / fx * 1.6        # side walls enter view beyond ~zn
+    ey = zn * (H / 2) / fy * 1.6
     if trajectory == "forward":
-        # stretch along the path
-        pathlen = 0.08 * n_frames
-        pts[:, 2] = rng.uniform(1.0, pathlen + depth_range[1], n_points)
-        pts[:, 0] *= 3.0
-
-    # sprites: high-contrast random block textures (strong FAST corners and
-    # BRIEF-distinctive local structure — block size ~5px so a 31x31 BRIEF
-    # patch sees mostly sprite, not backdrop)
-    import cv2
-    cell = max(sprite // 5, 2)
-    small = rng.randint(0, 2, (n_points, cell + 1, cell + 1)).astype(np.float32)
-    sprites = np.stack([
-        cv2.resize(s, (sprite, sprite), interpolation=cv2.INTER_NEAREST)
-        for s in small])
-    sprites = sprites * rng.uniform(120, 220, (n_points, 1, 1)) + \
-        rng.uniform(0, 30, (n_points, 1, 1))
-
-    # backdrop: a real textured 3D plane at z = backdrop_z, rendered by
-    # ray-casting each frame (a static pasted background would contribute
-    # zero-motion corners and poison RANSAC)
-    backdrop_z = depth_range[1] * 1.6
-    tex_scale = 3  # texture covers tex_scale x the frustum at backdrop depth
-    TH, TW = H * tex_scale, W * tex_scale
-    g = rng.rand(TH // 8 + 2, TW // 8 + 2) * 140 + 40
-    tex = cv2.resize(g.astype(np.float32), (TW, TH),
-                     interpolation=cv2.INTER_NEAREST)
-    tex = cv2.GaussianBlur(tex, (3, 3), 0.8)
+        zf = 0.1 * n_frames + depth_range[1] * 2
+        ex *= 3.0
+        ey *= 3.0
+    planes = [
+        # back wall
+        (np.array([0, 0, zf]), np.array([0, 0, -1.0]),
+         np.array([1.0, 0, 0]), np.array([0, 1.0, 0])),
+        # floor (y = +ey in camera-ish world coords: y points down)
+        (np.array([0, ey, 0]), np.array([0, -1.0, 0]),
+         np.array([1.0, 0, 0]), np.array([0, 0, 1.0])),
+        # ceiling
+        (np.array([0, -ey, 0]), np.array([0, 1.0, 0]),
+         np.array([1.0, 0, 0]), np.array([0, 0, 1.0])),
+        # left wall
+        (np.array([-ex, 0, 0]), np.array([1.0, 0, 0]),
+         np.array([0, 0, 1.0]), np.array([0, 1.0, 0])),
+        # right wall
+        (np.array([ex, 0, 0]), np.array([-1.0, 0, 0]),
+         np.array([0, 0, 1.0]), np.array([0, 1.0, 0])),
+    ]
+    # texture resolution ~ 80 px/m at the working depth
+    ppm = max(fx, fy) / ((zn + zf) * 0.5) * 1.2
+    texes = []
+    for p0, n, ua, va in planes:
+        span = 2.0 * max(ex, ey, zf)
+        tw = int(np.clip(span * ppm, 256, 4096))
+        texes.append((_plane_texture(rng, tw, tw), span))
 
     uu, vv = np.meshgrid(np.arange(W, dtype=np.float32),
                          np.arange(H, dtype=np.float32))
@@ -143,40 +186,41 @@ def generate(cam: CameraConfig, n_frames: int = 120, n_points: int = 600,
 
     images = np.zeros((n_frames, H, W), np.float32)
     depths = np.zeros((n_frames, H, W), np.float32)
-    r = sprite // 2
     for f in range(n_frames):
         q, t = twc[f, :4], twc[f, 4:]
-        # world -> camera: Tcw = inv(Twc)
-        qc = q * np.array([1, -1, -1, -1])
-        pc = np.stack([_quat_rot(qc, p - t) for p in pts])
-        # ray-cast the backdrop plane z = backdrop_z (world)
         Rwc = _R_of(q)
-        dirs = rays @ Rwc.T                      # world-frame ray directions
-        lam = (backdrop_z - t[2]) / np.maximum(dirs[..., 2], 1e-6)
-        Xw = t[None, None, :] + lam[..., None] * dirs
-        # texture coords: world (x, y) at backdrop depth seen from origin
-        map_x = (Xw[..., 0] * fx / backdrop_z + cx + (tex_scale - 1) * W / 2
-                 ).astype(np.float32)
-        map_y = (Xw[..., 1] * fy / backdrop_z + cy + (tex_scale - 1) * H / 2
-                 ).astype(np.float32)
-        img = cv2.remap(tex, map_x, map_y, cv2.INTER_LINEAR,
-                        borderMode=cv2.BORDER_WRAP)
-        # camera-frame point is lam * ray (unit-z rays), so z_cam = lam
-        dep = lam.astype(np.float32)
-        zc = pc[:, 2]
-        order = np.argsort(-zc)  # far to near
-        for i in order:
-            if zc[i] < 0.3:
-                continue
-            uu = fx * pc[i, 0] / zc[i] + cx
-            vv = fy * pc[i, 1] / zc[i] + cy
-            ui, vi = int(round(uu)), int(round(vv))
-            if ui < r or ui >= W - r or vi < r or vi >= H - r:
-                continue
-            img[vi - r:vi + r + 1, ui - r:ui + r + 1] = sprites[i]
-            dep[vi - r:vi + r + 1, ui - r:ui + r + 1] = zc[i]
-        images[f] = img
-        depths[f] = dep
+        dirs = rays @ Rwc.T                     # world-frame ray directions
+        img = np.zeros((H, W), np.float32)
+        zbuf = np.full((H, W), np.inf, np.float32)
+        for (p0, n, ua, va), (tex, span) in zip(planes, texes):
+            denom = dirs @ n
+            lam = ((p0 - t) @ n) / np.where(np.abs(denom) > 1e-9, denom, 1e-9)
+            hit = lam > 0.05
+            Xw = t[None, None, :] + lam[..., None] * dirs
+            tu = (Xw - p0) @ ua
+            tv = (Xw - p0) @ va
+            th_, tw_ = tex.shape
+            map_x = ((tu / span + 0.5) * (tw_ - 1)).astype(np.float32)
+            map_y = ((tv / span + 0.5) * (th_ - 1)).astype(np.float32)
+            col = cv2.remap(tex, map_x, map_y, cv2.INTER_LINEAR,
+                            borderMode=cv2.BORDER_WRAP)
+            # z-buffer on camera depth (= lam: unit-z camera rays)
+            closer = hit & (lam < zbuf)
+            img = np.where(closer, col, img)
+            zbuf = np.where(closer, lam, zbuf)
+        if noise_sigma > 0:
+            img = img + rng.randn(H, W).astype(np.float32) * noise_sigma
+        images[f] = np.clip(img, 0, 255)
+        depths[f] = np.where(np.isfinite(zbuf), zbuf, 0.0)
+
+    # ground-truth landmark samples on the planes (diagnostics only): back-
+    # project random pixels of frame 0 with their depth
+    u = rng.uniform(5, W - 5, n_points).astype(np.float32)
+    v = rng.uniform(5, H - 5, n_points).astype(np.float32)
+    z0 = depths[0][v.astype(int), u.astype(int)]
+    pc0 = np.stack([(u - cx) / fx * z0, (v - cy) / fy * z0, z0], -1)
+    q0, t0 = twc[0, :4], twc[0, 4:]
+    pts = np.stack([_quat_rot(q0, p) for p in pc0]) + t0
 
     timestamps = np.arange(n_frames) / cam.fps
     return SyntheticSequence(images=images, depths=depths, poses_twc=twc,

@@ -168,23 +168,35 @@ def replace_points(state: MapState, src: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 def update_point_attributes(state: MapState, pmask: jnp.ndarray,
-                            scale_factor: float, n_levels: int) -> MapState:
+                            scale_factor: float, n_levels: int,
+                            cap: int = 4096) -> MapState:
     """Recompute distinctive descriptor, normal and scale band for points in
     pmask, from their observer table (reference
     MapPoint::ComputeDistinctiveDescriptors MapPoint.cc:242-307 and
-    UpdateNormalAndDepth MapPoint.cc:330-371)."""
+    UpdateNormalAndDepth MapPoint.cc:330-371).
+
+    The touched points are first compacted into `cap` slots so the pairwise-
+    descriptor einsum runs over [cap, D], not the full point capacity — the
+    reference recomputes per touched point, not over the whole map.  If more
+    than `cap` points are flagged the overflow keeps stale attributes until
+    the next refresh (harmless: these are search heuristics)."""
     M, D = state.mp_obs_kf.shape
-    okf = state.mp_obs_kf            # [M, D]
-    okp = state.mp_obs_kp
-    has = (okf >= 0) & pmask[:, None]
+    T = min(cap, M)
+    _, sel = jax.lax.top_k(pmask.astype(jnp.int32), T)   # touched ids [T]
+    sel_ok = pmask[sel]
+
+    okf = state.mp_obs_kf[sel]        # [T, D]
+    okp = state.mp_obs_kp[sel]
+    pos = state.mp_pos[sel]           # [T, 3]
+    has = (okf >= 0) & sel_ok[:, None]
     kf_safe = jnp.clip(okf, 0, None)
     kp_safe = jnp.clip(okp, 0, None)
 
-    # gather observation descriptors [M, D, 32]
+    # gather observation descriptors [T, D, 32]
     descs = state.kf_desc[kf_safe, kp_safe]
     # pairwise Hamming among the D observations of each point
     from orb_slam2_tpu.frontend.orb import unpack_bits
-    bits = unpack_bits(descs.reshape(-1, 32)).reshape(M, D, 256)
+    bits = unpack_bits(descs.reshape(-1, 32)).reshape(T, D, 256)
     pm1 = jnp.where(bits, 1.0, -1.0).astype(jnp.bfloat16)
     dots = jnp.einsum('mdb,meb->mde', pm1, pm1,
                       preferred_element_type=jnp.float32)
@@ -197,37 +209,40 @@ def update_point_attributes(state: MapState, pmask: jnp.ndarray,
     mean_d = jnp.sum(dist, -1) / cnt
     mean_d = jnp.where(has, mean_d, jnp.inf)
     best = jnp.argmin(mean_d, axis=1)
-    new_desc = descs[jnp.arange(M), best]
+    new_desc = descs[jnp.arange(T), best]
     # normal: mean of unit vectors from KF centers to point
     kf_q = state.kf_pose[kf_safe, :4]
     kf_t = state.kf_pose[kf_safe, 4:7]
     # camera center C = -R^T t
     from orb_slam2_tpu.core import lie
     centers = -lie.quat_rotate(lie.quat_conj(kf_q.reshape(-1, 4)),
-                               kf_t.reshape(-1, 3)).reshape(M, D, 3)
-    vec = state.mp_pos[:, None, :] - centers
+                               kf_t.reshape(-1, 3)).reshape(T, D, 3)
+    vec = pos[:, None, :] - centers
     nrm = jnp.linalg.norm(vec, axis=-1, keepdims=True)
     unit = jnp.where(has[..., None], vec / jnp.maximum(nrm, 1e-9), 0.0)
     normal = jnp.sum(unit, 1) / jnp.maximum(jnp.sum(has, 1), 1)[:, None]
     # scale band from the reference observation (first_kf's obs if present,
     # else slot 0): dist * scale^octave
     ref_slot = jnp.argmax(has, axis=1)
-    ref_kf = kf_safe[jnp.arange(M), ref_slot]
-    ref_kp = kp_safe[jnp.arange(M), ref_slot]
+    ref_kf = kf_safe[jnp.arange(T), ref_slot]
+    ref_kp = kp_safe[jnp.arange(T), ref_slot]
     d_ref = jnp.linalg.norm(
-        state.mp_pos - (-lie.quat_rotate(lie.quat_conj(state.kf_pose[ref_kf, :4]),
-                                         state.kf_pose[ref_kf, 4:7])), axis=-1)
+        pos - (-lie.quat_rotate(lie.quat_conj(state.kf_pose[ref_kf, :4]),
+                                state.kf_pose[ref_kf, 4:7])), axis=-1)
     octv = state.kf_octave[ref_kf, ref_kp]
     level_sf = scale_factor ** octv.astype(jnp.float32)
     max_dist = d_ref * level_sf
     min_dist = max_dist / (scale_factor ** (n_levels - 1))
 
-    upd = pmask & jnp.any(has, 1)
-    return state._replace(
-        mp_desc=jnp.where(upd[:, None], new_desc, state.mp_desc),
-        mp_normal=jnp.where(upd[:, None], normal, state.mp_normal),
-        mp_max_dist=jnp.where(upd, max_dist, state.mp_max_dist),
-        mp_min_dist=jnp.where(upd, min_dist, state.mp_min_dist))
+    upd = sel_ok & jnp.any(has, 1)
+    tgt = jnp.where(upd, sel, M)     # scatter-to-void for untouched rows
+    pad = lambda a: jnp.concatenate([a, jnp.zeros_like(a[:1])])
+    mp_desc = pad(state.mp_desc).at[tgt].set(new_desc)[:M]
+    mp_normal = pad(state.mp_normal).at[tgt].set(normal)[:M]
+    mp_max = pad(state.mp_max_dist).at[tgt].set(max_dist)[:M]
+    mp_min = pad(state.mp_min_dist).at[tgt].set(min_dist)[:M]
+    return state._replace(mp_desc=mp_desc, mp_normal=mp_normal,
+                          mp_max_dist=mp_max, mp_min_dist=mp_min)
 
 
 # ---------------------------------------------------------------------------

@@ -48,7 +48,7 @@ def median_scene_depth(state: MapState, k, K) -> jnp.ndarray:
 
 
 def triangulate_new_points(state: MapState, kf_id, cfg: SLAMConfig,
-                           n_neighbors: int = 8) -> MapState:
+                           n_neighbors: int | None = None) -> MapState:
     """Create new map points by triangulating unmatched keypoints of the new
     keyframe against its top covisible neighbors (reference
     LocalMapping::CreateNewMapPoints, LocalMapping.cc:207-452).
@@ -59,6 +59,10 @@ def triangulate_new_points(state: MapState, kf_id, cfg: SLAMConfig,
     K = camera.intrinsics(cfg.camera)
     sf = cfg.orb.scale_factor
     N = state.kf_obs.shape[1]
+    if n_neighbors is None:
+        # 20 mono / 10 stereo-RGBD best covisible KFs (LocalMapping.cc:217)
+        n_neighbors = (cfg.mapping.triangulate_neighbors if cfg.sensor == 0
+                       else cfg.mapping.triangulate_neighbors_stereo)
 
     neighbors = covisible_neighbors(state, kf_id, n_neighbors, min_weight=15)
     T1 = state.kf_pose[kf_id]
@@ -199,17 +203,22 @@ def cull_points(state: MapState, kf_id, cfg: SLAMConfig) -> MapState:
     found_ratio = state.mp_found.astype(jnp.float32) / \
         jnp.maximum(state.mp_visible, 1).astype(jnp.float32)
     age = kf_id - state.mp_first_kf   # in keyframes
-    min_obs = 2 if cfg.sensor == 0 else 3
+    min_obs = 2 if cfg.sensor == 0 else cfg.mapping.cull_min_obs
     bad = state.mp_valid & (
         (found_ratio < cfg.mapping.found_ratio_min) |
         ((age >= 2) & (cnt <= min_obs)))
-    # points older than 3 KFs are out of the probation window
-    bad = bad & (age <= 3)
+    # points older than 3 KFs are out of the probation window; points born in
+    # the two bootstrap keyframes are exempt entirely — the reference's
+    # probation list mlpRecentAddedMapPoints is only fed by LocalMapping
+    # (LocalMapping.cc:441) and stereo VO creation, never by
+    # CreateInitialMapMonocular / StereoInitialization, so the initial map is
+    # never probation-culled.
+    bad = bad & (age <= 3) & (state.mp_first_kf >= 2)
     return ops.cull_points(state, bad)
 
 
 def fuse_neighbors(state: MapState, kf_id, cfg: SLAMConfig,
-                   n_neighbors: int = 4) -> MapState:
+                   n_neighbors: int | None = None) -> MapState:
     """Two-way map-point fusion with covisible neighbors (reference
     LocalMapping::SearchInNeighbors, LocalMapping.cc:454-534 +
     ORBmatcher::Fuse, ORBmatcher.cc:825-975).
@@ -226,6 +235,8 @@ def fuse_neighbors(state: MapState, kf_id, cfg: SLAMConfig,
     N = state.kf_obs.shape[1]
     M = state.mp_pos.shape[0]
     radius_base = cfg.mapping.fuse_radius
+    if n_neighbors is None:
+        n_neighbors = cfg.mapping.fuse_neighbors
 
     neighbors = covisible_neighbors(state, kf_id, n_neighbors, min_weight=15)
 
@@ -295,9 +306,16 @@ def fuse_neighbors(state: MapState, kf_id, cfg: SLAMConfig,
         ok = nb >= 0
         state = fuse_into(state, kf_id, nb, ok)      # new KF points -> nb
         state = fuse_into(state, nb, kf_id, ok)      # nb points -> new KF
-    from orb_slam2_tpu.pipeline.init import pids_mask_from
+    # refresh attributes only for points touched by this fuse pass (observed
+    # by the new KF or its neighbors) — the reference recomputes per fused
+    # point (LocalMapping.cc:517-526), not over the whole map
+    kfs = jnp.concatenate([jnp.atleast_1d(jnp.asarray(kf_id, jnp.int32)),
+                           jnp.clip(neighbors, 0, None)])
+    touched_obs = state.kf_obs[kfs]                   # [1+NB, N]
+    tmask = jnp.zeros((M + 1,), bool).at[
+        jnp.where(touched_obs >= 0, touched_obs, M).reshape(-1)].set(True)[:M]
     state = ops.update_point_attributes(
-        state, state.mp_valid, cfg.orb.scale_factor, cfg.orb.n_levels)
+        state, tmask & state.mp_valid, cfg.orb.scale_factor, cfg.orb.n_levels)
     from orb_slam2_tpu.map.state import update_covisibility_for_kf
     state = update_covisibility_for_kf(state, kf_id)
     return state

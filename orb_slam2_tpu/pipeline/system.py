@@ -1,18 +1,23 @@
 """SLAM session facade: the TPU equivalent of reference `System`
 (System.cc) + the host-side scheduler that replaces its four threads.
 
-Host<->device traffic is the scarce resource through the TPU tunnel
-(device->host syncs cost ~4 ms even for scalars), so the entire per-frame
-path runs as ONE fused jit (`build_track_step`) returning a small int32
-"HUD" vector — the only thing the host reads per frame.  Keyframe-rate work
-(insert + triangulate + local BA + cull) is a second fused jit.  The
-trajectory log lives on device inside TrackState and is downloaded once at
-export time.
+Host<->device traffic is the scarce resource through the TPU tunnel: a
+*synchronous* device->host read costs tens of ms, while async transfers
+pipeline freely.  The per-frame path is therefore ONE fused jit
+(`_full_step`: extraction -> tracking -> keyframe decision -> conditional
+keyframe integration, all on device via `lax.cond`) with **zero synchronous
+host reads**.  A small int32 "HUD" vector is copied host-ward asynchronously
+every frame and inspected `hud_lag` frames later to drive the rare host-side
+reactions (relocalization, loop closing, reset) — the same lag the
+reference's LocalMapping/LoopClosing threads exhibit relative to tracking.
+The trajectory log lives on device inside TrackState and is downloaded once
+at export time.
 """
 
 from __future__ import annotations
 
 import time
+from collections import deque
 from typing import List, Optional
 
 import jax
@@ -26,7 +31,7 @@ from orb_slam2_tpu.pipeline import frame as frame_mod
 from orb_slam2_tpu.pipeline import init as init_mod
 from orb_slam2_tpu.pipeline import mapping, tracking
 from orb_slam2_tpu.pipeline.tracking import (HUD_N_KF, HUD_NEED_KF,
-                                             HUD_STATUS, LOST,
+                                             HUD_REF_KF, HUD_STATUS, LOST,
                                              NOT_INITIALIZED, OK, TrackState,
                                              record_traj)
 
@@ -46,13 +51,18 @@ class SLAM:
         self.state = empty_map(cfg)
         self.ts = tracking.empty_track_state(cfg)
         self.frame_count = 0
-        self.status = NOT_INITIALIZED  # host mirror of ts.status
+        self.status = NOT_INITIALIZED  # host mirror, hud_lag frames behind
         self.last_hud = np.zeros(8, np.int32)
         self.timings: List[float] = []
         self._key = jax.random.PRNGKey(0)
         self.enable_loop = enable_loop_closing
         self.last_loop_kf = -100
         self.localization_only = False
+        # async-HUD pipeline: entries (frame_id, hud_devarray, Frame)
+        self.hud_lag = 8
+        self._pending: deque = deque()
+        self._loop_pending: deque = deque()   # (frame_id, kf_id, ids, groups)
+        self._reloc_pending = None            # (frame_id, (ok,T,pids,cand), Frame)
 
         # vocabulary (reference loads ORBvoc.txt at startup, System.cc:62;
         # we ship a trained default, see place/vocab.py)
@@ -67,13 +77,15 @@ class SLAM:
                            if self.vocab is not None else None)
 
         if cfg.sensor == MONOCULAR:
-            self._frame_fn = jax.jit(frame_mod.build_mono_frame_fn(cfg))
+            raw_frame_fn = frame_mod.build_mono_frame_fn(cfg)
         elif cfg.sensor == RGBD:
-            self._frame_fn = jax.jit(frame_mod.build_rgbd_frame_fn(cfg))
+            raw_frame_fn = frame_mod.build_rgbd_frame_fn(cfg)
         else:
-            self._frame_fn = jax.jit(frame_mod.build_stereo_frame_fn(cfg))
+            raw_frame_fn = frame_mod.build_stereo_frame_fn(cfg)
+        self._frame_fn = jax.jit(raw_frame_fn)
 
-        self._track_step = jax.jit(tracking.build_track_step(cfg))
+        raw_track_step = tracking.build_track_step(cfg)
+        self._track_step = jax.jit(raw_track_step)
         self._store_init = jax.jit(init_mod.store_init_frame)
         self._match_init = jax.jit(
             lambda ts, f: init_mod.match_for_init(ts, f, cfg))
@@ -127,33 +139,119 @@ class SLAM:
             self._consistency = loopclosing.ConsistencyTracker(
                 cfg.loop.covisibility_consistency_th)
 
+        # --- the fused per-frame step: extraction + tracking + conditional
+        # keyframe integration + BoW, one jit, zero host reads ---
+        transform = self._transform
+
+        def full_step(state, ts, imgs, frame_id, timestamp, loc_only):
+            frame = raw_frame_fn(*imgs, frame_id, timestamp)
+            state, ts, cur_pids, hud = raw_track_step(state, ts, frame)
+            need = (hud[HUD_NEED_KF] > 0) & jnp.logical_not(loc_only)
+
+            def do_kf(op):
+                st, t = op
+                st, t = keyframe_step(st, t, frame, cur_pids)
+                if transform is not None:
+                    bow, _, _ = transform(frame.desc, frame.valid)
+                    st = st._replace(kf_bow=st.kf_bow.at[t.ref_kf].set(bow))
+                return st, t
+
+            state, ts = jax.lax.cond(need, do_kf, lambda op: op, (state, ts))
+            hud = jnp.concatenate([
+                hud.at[HUD_NEED_KF].set(need.astype(jnp.int32)),
+                jnp.reshape(ts.ref_kf, (1,))])
+            return state, ts, frame, hud
+
+        self._full_step = jax.jit(full_step)
+
     # ------------------------------------------------------------------
     def track_mono(self, img: np.ndarray, timestamp: float):
-        frame = self._frame_fn(jnp.asarray(img, jnp.float32),
-                               self.frame_count, timestamp)
-        return self._track(frame)
+        return self._track((jnp.asarray(img, jnp.float32),), timestamp)
 
     def track_rgbd(self, img, depth, timestamp: float):
-        frame = self._frame_fn(jnp.asarray(img, jnp.float32),
-                               jnp.asarray(depth, jnp.float32),
-                               self.frame_count, timestamp)
-        return self._track(frame)
+        return self._track((jnp.asarray(img, jnp.float32),
+                            jnp.asarray(depth, jnp.float32)), timestamp)
 
     def track_stereo(self, img_l, img_r, timestamp: float):
-        frame = self._frame_fn(jnp.asarray(img_l, jnp.float32),
-                               jnp.asarray(img_r, jnp.float32),
-                               self.frame_count, timestamp)
-        return self._track(frame)
+        return self._track((jnp.asarray(img_l, jnp.float32),
+                            jnp.asarray(img_r, jnp.float32)), timestamp)
 
     # ------------------------------------------------------------------
-    def _track(self, frame):
+    def _track(self, imgs, timestamp):
         t0 = time.perf_counter()
         if self.status == NOT_INITIALIZED:
+            frame = self._frame_fn(*imgs, self.frame_count, timestamp)
             self._initialize(frame)
+            self.frame_count += 1
         else:
-            self._track_frame(frame)
-        self.frame_count += 1
+            state, ts, frame, hud = self._full_step(
+                self.state, self.ts, imgs, self.frame_count, timestamp,
+                jnp.asarray(self.localization_only))
+            self.state, self.ts = state, ts
+            hud.copy_to_host_async()
+            self._pending.append((self.frame_count, hud, frame))
+            self.frame_count += 1
+            self._drain(self.hud_lag)
         self.timings.append(time.perf_counter() - t0)
+
+    # ------------------------------------------------------------------
+    def flush(self):
+        """Process every pending async event and synchronize with the device.
+        Call before reading trajectories/state counters."""
+        self._drain(0)
+        jax.block_until_ready(self.ts.T)
+
+    def _drain(self, keep: int):
+        """Consume HUD entries older than `keep` frames and react: LOST ->
+        reset/relocalize, inserted-KF -> loop-closing schedule.  With keep>0
+        the reads are on transfers issued `keep` frames ago — effectively
+        free (async d2h pipelines through the tunnel)."""
+        while len(self._pending) > keep:
+            fid, hud, frame = self._pending.popleft()
+            hud = np.asarray(hud)
+            self.last_hud = hud
+            self.status = int(hud[HUD_STATUS])
+            if self.status == OK:
+                if hud[HUD_NEED_KF] and self.enable_loop and \
+                        self._transform is not None:
+                    self._schedule_loop_detect(int(hud[HUD_REF_KF]))
+            else:
+                if int(hud[HUD_N_KF]) <= 5:
+                    # lost right after init: wipe and restart
+                    # (reference Tracking.cc:472-480)
+                    self.reset()
+                    return
+                if self._transform is not None and \
+                        self._reloc_pending is None:
+                    self._key, sub = jax.random.split(self._key)
+                    out = self._reloc_step(self.state, frame, sub)
+                    for o in out:
+                        o.copy_to_host_async()
+                    self._reloc_pending = (fid, out, frame)
+        self._check_reloc(force=(keep == 0))
+        self._check_loops(force=(keep == 0))
+
+    # ------------------------------------------------------------------
+    def _check_reloc(self, force: bool = False):
+        """Apply a pending relocalization result once its transfer is ripe
+        (reference Tracking::Relocalization, Tracking.cc:1341-1502)."""
+        if self._reloc_pending is None:
+            return
+        fid, (ok, T, pids, cand), frame = self._reloc_pending
+        if not force and self.frame_count - fid < self.hud_lag:
+            return
+        self._reloc_pending = None
+        if not bool(np.asarray(ok)):
+            return
+        self.ts = self.ts._replace(
+            status=jnp.asarray(OK, jnp.int32), T=T, last_T=T,
+            has_velocity=jnp.asarray(False),
+            last_pids=pids, last_uv=frame.uv, last_octave=frame.octave,
+            last_angle=frame.angle, last_valid=frame.valid,
+            ref_kf=cand.astype(jnp.int32),
+            last_reloc_frame_id=frame.frame_id)
+        self.ts = self._record(self.state, self.ts, frame, jnp.asarray(True))
+        self.status = OK
 
     # ------------------------------------------------------------------
     def _initialize(self, frame):
@@ -200,79 +298,64 @@ class SLAM:
                 self.state = self._set_bow(self.state, jnp.asarray(k1),
                                            frame.desc, frame.valid)
             self.status = OK
-        else:
-            self.ts = self._store_init(self.ts, frame)
+        # on geometric failure (low parallax / ambiguous model) KEEP the
+        # stored first frame and retry against the next frame with a larger
+        # baseline — the reference keeps mpInitializer/mInitialFrame alive
+        # when Initialize() fails (Tracking.cc:610 has no else-teardown);
+        # the init frame is only replaced when matches drop below 100.
 
     # ------------------------------------------------------------------
-    def _track_frame(self, frame):
-        self.state, self.ts, cur_pids, hud = self._track_step(
-            self.state, self.ts, frame)
-        hud = np.asarray(hud)  # the one device->host sync per frame
-        self.last_hud = hud
-        self.status = int(hud[HUD_STATUS])
-        if self.status != OK:
-            if int(hud[HUD_N_KF]) <= 5:
-                self.reset()
-            elif self._transform is not None:
-                self._relocalize(frame)
-            return
-        if hud[HUD_NEED_KF] and not self.localization_only:
-            self.state, self.ts = self._keyframe_step(
-                self.state, self.ts, frame, cur_pids)
-            kf_id = int(self.ts.ref_kf)
-            if self._transform is not None:
-                self.state = self._set_bow(self.state, self.ts.ref_kf,
-                                           frame.desc, frame.valid)
-                if self.enable_loop:
-                    self._try_close_loop(kf_id)
-
-    # ------------------------------------------------------------------
-    def _try_close_loop(self, kf_id: int):
-        """Loop detection -> temporal consistency -> Sim3 verify -> correct
-        (reference LoopClosing::Run, LoopClosing.cc:57-88)."""
-        cfg = self.cfg
-        if kf_id - self.last_loop_kf < cfg.loop.min_kfs_since_last:
+    def _schedule_loop_detect(self, kf_id: int):
+        """Dispatch loop-candidate detection for a fresh keyframe; results are
+        fetched asynchronously by _check_loops (reference LoopClosing::Run,
+        LoopClosing.cc:57-88 — a thread that naturally lags tracking)."""
+        if kf_id - self.last_loop_kf < self.cfg.loop.min_kfs_since_last:
             return  # LoopClosing.cc:114
         ids, groups = self._loop_detect(self.state, jnp.asarray(kf_id))
-        ids = np.asarray(ids)
-        if (ids < 0).all():
-            self._consistency.reset()
-            return
-        consistent = self._consistency.update(ids, np.asarray(groups))
-        for cand in consistent[:2]:
-            self._key, sub = jax.random.split(self._key)
-            ok, Scm, loop_pids, stats = self._loop_verify(
-                self.state, jnp.asarray(kf_id), jnp.asarray(cand), sub)
-            if bool(ok):
-                self.state = self._loop_correct(
-                    self.state, jnp.asarray(kf_id), jnp.asarray(cand),
-                    Scm, loop_pids)
-                # run GBA after the pose-graph (LoopClosing.cc:576-579)
-                self.state = self._global_ba(self.state)
-                T_new = self.state.kf_pose[kf_id]
-                self.ts = self.ts._replace(T=T_new, last_T=T_new,
-                                           has_velocity=jnp.asarray(False))
-                self.last_loop_kf = kf_id
+        ids.copy_to_host_async()
+        groups.copy_to_host_async()
+        self._loop_pending.append((self.frame_count, kf_id, ids, groups))
+
+    def _check_loops(self, force: bool = False):
+        """Consume ripe loop-detection results: temporal consistency check,
+        then Sim3 verification and loop correction (rare, synchronous)."""
+        while self._loop_pending:
+            fid, kf_id, ids, groups = self._loop_pending[0]
+            if not force and self.frame_count - fid < self.hud_lag:
+                return
+            self._loop_pending.popleft()
+            ids = np.asarray(ids)
+            if (ids < 0).all():
                 self._consistency.reset()
-                break
+                continue
+            consistent = self._consistency.update(ids, np.asarray(groups))
+            for cand in consistent[:2]:
+                self._key, sub = jax.random.split(self._key)
+                ok, Scm, loop_pids, stats = self._loop_verify(
+                    self.state, jnp.asarray(kf_id), jnp.asarray(cand), sub)
+                if bool(ok):
+                    self.state = self._loop_correct(
+                        self.state, jnp.asarray(kf_id), jnp.asarray(cand),
+                        Scm, loop_pids)
+                    # run GBA after the pose-graph (LoopClosing.cc:576-579)
+                    self.state = self._global_ba(self.state)
+                    T_new = self.state.kf_pose[kf_id]
+                    self.ts = self.ts._replace(T=T_new, last_T=T_new,
+                                               has_velocity=jnp.asarray(False))
+                    self.last_loop_kf = kf_id
+                    self._consistency.reset()
+                    break
 
     # ------------------------------------------------------------------
     def _relocalize(self, frame):
-        """Reference Tracking::Relocalization (Tracking.cc:1341-1502)."""
+        """Synchronous relocalization — used by diagnostics; the pipelined
+        path goes through _drain/_check_reloc (reference
+        Tracking::Relocalization, Tracking.cc:1341-1502)."""
         self._key, sub = jax.random.split(self._key)
-        ok, T, pids, cand = self._reloc_step(self.state, frame, sub)
-        if not bool(ok):
-            return False
-        self.ts = self.ts._replace(
-            status=jnp.asarray(OK, jnp.int32), T=T, last_T=T,
-            has_velocity=jnp.asarray(False),
-            last_pids=pids, last_uv=frame.uv, last_octave=frame.octave,
-            last_angle=frame.angle, last_valid=frame.valid,
-            ref_kf=jnp.asarray(int(cand), jnp.int32),
-            last_reloc_frame_id=frame.frame_id)
-        self.ts = self._record(self.state, self.ts, frame, jnp.asarray(True))
-        self.status = OK
-        return True
+        out = self._reloc_step(self.state, frame, sub)
+        self._reloc_pending = (self.frame_count, out, frame)
+        self._check_reloc(force=True)
+        return self.status == OK
 
     # ------------------------------------------------------------------
     def activate_localization_mode(self):

@@ -259,8 +259,8 @@ def track_local_map(state: MapState, ts: TrackState, frame: Frame,
     # few thousand points, so gather them into P slots first.
     P = min(4096, M)
     searchable = visible & ~already
-    order = jnp.argsort(~searchable)          # visible-first, stable
-    sel = order[:P]
+    # top_k (not a full M-wide argsort) to compact searchable ids into P slots
+    _, sel = jax.lax.top_k(searchable.astype(jnp.int32), P)
     sel_ok = searchable[sel]
 
     res = search.search_by_projection(
@@ -281,30 +281,33 @@ def track_local_map(state: MapState, ts: TrackState, frame: Frame,
                               T, camera.intrinsics(cfg.camera), bf, cfg)
     cur_pids = jnp.where(opt.inliers, cur_pids, -1)
 
-    # visibility / found counters (reference IncreaseVisible/IncreaseFound)
+    # visibility / found counter deltas (reference IncreaseVisible/
+    # IncreaseFound).  Returned as deltas, NOT a new MapState: merging a full
+    # state copy per frame costs tens of MB of HBM traffic for two counters.
     found = jnp.zeros((M + 1,), jnp.int32).at[
         jnp.where(cur_pids >= 0, cur_pids, M)].add(1)[:M]
-    state = state._replace(
-        mp_visible=state.mp_visible + visible.astype(jnp.int32),
-        mp_found=state.mp_found + found)
+    visible_d = visible.astype(jnp.int32)
 
     min_inl = jnp.where(after_reloc, cfg.tracking.min_inliers_local_map_reloc,
                         cfg.tracking.min_inliers_local_map)
     ok = opt.n_inliers >= min_inl
-    return state, cur_pids, opt, ok
+    return (visible_d, found), cur_pids, opt, ok
 
 
 # ---------------------------------------------------------------------------
 # fused per-frame step (single jit call per frame)
 # ---------------------------------------------------------------------------
 
-# HUD indices (the one small int32 vector downloaded per frame)
+# HUD indices (the one small int32 vector downloaded per frame — and only
+# asynchronously, several frames late: a synchronous device->host read costs
+# tens of ms through the TPU tunnel)
 HUD_STATUS = 0
 HUD_N_INLIERS = 1
 HUD_NEED_KF = 2
 HUD_N_KF = 3
 HUD_N_MP = 4
-HUD_LEN = 5
+HUD_REF_KF = 5   # appended by the fused system step after KF insertion
+HUD_LEN = 6
 
 
 def build_track_step(cfg: SLAMConfig):
@@ -337,10 +340,13 @@ def build_track_step(cfg: SLAMConfig):
         # --- phase 2: local map tracking ---
         after_reloc = (frame.frame_id - ts.last_reloc_frame_id) < \
             cfg.tracking.reloc_recent_window
-        state2, pids2, opt2, ok2 = track_local_map(
+        (vis_d, found_d), pids2, opt2, ok2 = track_local_map(
             state, ts, frame, T, pids, cfg, after_reloc)
         ok = ok1 & ok2
-        state = jax.tree.map(lambda a, b: jnp.where(ok, b, a), state, state2)
+        oki = ok.astype(jnp.int32)
+        state = state._replace(
+            mp_visible=state.mp_visible + oki * vis_d,
+            mp_found=state.mp_found + oki * found_d)
         T = jnp.where(ok, opt2.T, ts.T)
         cur_pids = jnp.where(ok, pids2, -1)
 

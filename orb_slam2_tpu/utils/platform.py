@@ -30,6 +30,12 @@ def force_cpu(n_devices: int = 1) -> None:
 def force_cpu_if_requested() -> None:
     """Honor SLAM_PLATFORM=cpu[:N] (used by scripts/ diagnostics)."""
     v = os.environ.get("SLAM_PLATFORM", "")
-    if v.startswith("cpu"):
-        n = int(v.split(":", 1)[1]) if ":" in v else 1
+    if v == "cpu" or v.startswith("cpu:"):
+        n = 1
+        if ":" in v:
+            try:
+                n = max(int(v.split(":", 1)[1]), 1)
+            except ValueError:
+                import warnings
+                warnings.warn(f"SLAM_PLATFORM={v!r}: bad device count, using 1")
         force_cpu(n)

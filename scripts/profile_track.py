@@ -19,7 +19,9 @@ import numpy as np
 from orb_slam2_tpu import config
 from orb_slam2_tpu.io import evaluate, synthetic
 from orb_slam2_tpu.pipeline.system import SLAM
-from orb_slam2_tpu.pipeline.tracking import HUD_N_KF, HUD_NEED_KF, HUD_STATUS, OK
+from orb_slam2_tpu.pipeline.tracking import (HUD_N_INLIERS, HUD_N_KF,
+                                             HUD_NEED_KF, HUD_STATUS,
+                                             NOT_INITIALIZED, OK)
 
 
 def block(x):
@@ -44,8 +46,8 @@ def main():
         t0 = time.perf_counter()
         frame = block(slam._frame_fn(img, slam.frame_count, seq.timestamps[f]))
         t1 = time.perf_counter()
-        if slam.status != 2:  # NOT_INITIALIZED path or LOST
-            slam._initialize(frame) if slam.status == 1 else None
+        if slam.status == NOT_INITIALIZED:  # mirrors SLAM._track
+            slam._initialize(frame)
             slam.frame_count += 1
             statuses.append(("init", slam.status))
             stage_t["frame"].append(t1 - t0)
@@ -58,13 +60,13 @@ def main():
         slam.status = int(hud[HUD_STATUS])
         tkf = tbow = tloop = 0.0
         if slam.status != OK:
-            statuses.append(("LOST", int(hud[1])))
+            statuses.append(("LOST", int(hud[HUD_N_INLIERS])))
             if int(hud[HUD_N_KF]) <= 5:
                 slam.reset()
             elif slam._transform is not None:
                 slam._relocalize(frame)
         else:
-            statuses.append(("ok", int(hud[1])))
+            statuses.append(("ok", int(hud[HUD_N_INLIERS])))
             if hud[HUD_NEED_KF]:
                 t3 = time.perf_counter()
                 slam.state, slam.ts = slam._keyframe_step(
@@ -83,13 +85,14 @@ def main():
                         slam._try_close_loop(kf_id)
                     tloop = time.perf_counter() - t5
         slam.frame_count += 1
+        t_end = time.perf_counter()
         stage_t["frame"].append(t1 - t0)
         stage_t["track"].append(t2 - t1)
         stage_t["kf"].append(tkf)
         stage_t["bow"].append(tbow)
         stage_t["loop"].append(tloop)
-        stage_t["other"].append(time.perf_counter() - t_all0 -
-                                (time.perf_counter() - t_all0))
+        stage_t["other"].append(t_end - t_all0 - (t1 - t0) - (t2 - t1)
+                                - tkf - tbow - tloop)
 
     print("\n=== status log ===")
     for i, s in enumerate(statuses):
