@@ -37,10 +37,18 @@ def edge_residual(S_i, S_j, S_meas):
 
 
 def optimize_pose_graph(prob: PoseGraphProblem, n_outer: int = 20,
-                        n_cg: int = 40, lam0: float = 1e-6):
-    """Gauss-Newton/LM with CG; returns optimized nodes [K, 8]."""
+                        n_cg: int = 40, lam0: float = 1e-6,
+                        psum_axis: str | None = None):
+    """Gauss-Newton/LM with CG; returns optimized nodes [K, 8].
+
+    With `psum_axis`, the edge arrays are assumed sharded over that mesh
+    axis (see distributed/posegraph.py): every cross-edge reduction is
+    all-reduced so each device steps identical replicated nodes."""
     Kn = prob.nodes.shape[0]
     var = prob.node_valid & ~prob.node_fixed
+
+    def maybe_psum(x):
+        return jax.lax.psum(x, psum_axis) if psum_axis else x
 
     def residuals_and_jac(nodes):
         Si = nodes[prob.edge_i]
@@ -64,17 +72,20 @@ def optimize_pose_graph(prob: PoseGraphProblem, n_outer: int = 20,
     def seg(vals, idx):
         return jax.ops.segment_sum(vals, idx, num_segments=Kn)
 
+    def seg2(vi, vj):
+        return maybe_psum(seg(vi, prob.edge_i) + seg(vj, prob.edge_j))
+
     def lm_step(carry, _):
         nodes, lam = carry
         r, Ji, Jj = residuals_and_jac(nodes)
         w = prob.edge_w
         # gradient
-        g = seg(jnp.einsum('eri,er,e->ei', Ji, r, w), prob.edge_i) + \
-            seg(jnp.einsum('eri,er,e->ei', Jj, r, w), prob.edge_j)   # [K, 7]
+        g = seg2(jnp.einsum('eri,er,e->ei', Ji, r, w),
+                 jnp.einsum('eri,er,e->ei', Jj, r, w))               # [K, 7]
         g = jnp.where(var[:, None], g, 0.0)
         # diag blocks for preconditioner
-        Hii = seg(jnp.einsum('eri,erj,e->eij', Ji, Ji, w), prob.edge_i) + \
-            seg(jnp.einsum('eri,erj,e->eij', Jj, Jj, w), prob.edge_j)
+        Hii = seg2(jnp.einsum('eri,erj,e->eij', Ji, Ji, w),
+                   jnp.einsum('eri,erj,e->eij', Jj, Jj, w))
         Hii = Hii + (lam + 1e-8) * jnp.eye(7)
         Pinv = jnp.linalg.inv(Hii)
         Pinv = jnp.where(var[:, None, None], Pinv, 0.0)
@@ -84,8 +95,8 @@ def optimize_pose_graph(prob: PoseGraphProblem, n_outer: int = 20,
             vi = jnp.einsum('erj,ej->er', Ji, x[prob.edge_i])
             vj = jnp.einsum('erj,ej->er', Jj, x[prob.edge_j])
             v = (vi + vj) * w[:, None]
-            out = seg(jnp.einsum('eri,er->ei', Ji, v), prob.edge_i) + \
-                seg(jnp.einsum('eri,er->ei', Jj, v), prob.edge_j)
+            out = seg2(jnp.einsum('eri,er->ei', Ji, v),
+                       jnp.einsum('eri,er->ei', Jj, v))
             out = out + lam * x
             return jnp.where(var[:, None], out, 0.0)
 
@@ -112,9 +123,9 @@ def optimize_pose_graph(prob: PoseGraphProblem, n_outer: int = 20,
         new_nodes = jax.vmap(lie.sim3_retract)(nodes, dx)
         new_nodes = jnp.where(var[:, None], new_nodes, nodes)
 
-        cost_old = jnp.sum(jnp.sum(r * r, -1) * w)
+        cost_old = maybe_psum(jnp.sum(jnp.sum(r * r, -1) * w))
         r_new, _, _ = residuals_and_jac(new_nodes)
-        cost_new = jnp.sum(jnp.sum(r_new * r_new, -1) * w)
+        cost_new = maybe_psum(jnp.sum(jnp.sum(r_new * r_new, -1) * w))
         ok = (cost_new < cost_old) & jnp.all(jnp.isfinite(new_nodes))
         nodes = jnp.where(ok, new_nodes, nodes)
         lam = jnp.clip(jnp.where(ok, lam * 0.3, lam * 8.0), 1e-12, 1e6)

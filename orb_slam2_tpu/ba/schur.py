@@ -109,6 +109,179 @@ def _huber_w(chi2, delta2):
                      jnp.sqrt(delta2 / jnp.maximum(chi2, 1e-12)))
 
 
+def _chol3x3(A):
+    """Batched closed-form Cholesky of (PSD) 3x3 blocks; zero blocks -> 0."""
+    eps = 1e-12
+    a11 = jnp.maximum(A[..., 0, 0], 0.0)
+    l11 = jnp.sqrt(a11 + eps)
+    l21 = A[..., 1, 0] / l11
+    l22 = jnp.sqrt(jnp.maximum(A[..., 1, 1] - l21 * l21, 0.0) + eps)
+    l31 = A[..., 2, 0] / l11
+    l32 = (A[..., 2, 1] - l31 * l21) / l22
+    l33 = jnp.sqrt(jnp.maximum(A[..., 2, 2] - l31 * l31 - l32 * l32, 0.0) + eps)
+    z = jnp.zeros_like(l11)
+    L = jnp.stack([
+        jnp.stack([l11, z, z], -1),
+        jnp.stack([l21, l22, z], -1),
+        jnp.stack([l31, l32, l33], -1)], -2)
+    # zero-out blocks that were all-zero (inactive points)
+    nz = jnp.abs(A).sum((-1, -2)) > 1e-10
+    return jnp.where(nz[..., None, None], L, 0.0)
+
+
+def ba_solve_dense(prob: BAProblem, pt_obs_r: jnp.ndarray, n_per_cam: int,
+                   n_outer: int = 10, huber_delta2: float = 5.991,
+                   use_huber: bool = True, lam0: float = 1e-4,
+                   chi2_th_mono: float = 5.991, chi2_th_stereo: float = 7.815,
+                   chunk: int = 2048,
+                   psum_axis: str | None = None) -> BAResult:
+    """LM with an explicitly materialized Schur reduced camera system.
+
+    The TPU-native replacement of g2o's BlockSolver Schur path
+    (block_solver.h:132-172): instead of CG on a matrix-free operator (slow:
+    hundreds of latency-bound small kernels), the [6C, 6C] reduced system
+
+        S = Hcc + lam I  -  sum_p W_p (Hpp_p + lam I)^-1 W_p^T
+
+    is built with gathers + one-hot einsums + an MXU matmul (G^T G with
+    G[p3, c6] = per-point whitened camera Jacobian blocks), then solved
+    directly.  Every LM iteration performs an *exact* Gauss-Newton/LM step,
+    so far fewer iterations are needed than with inexact CG.
+
+    Requirements on the problem layout (both producers in ba/local.py obey):
+      * observations are camera-major: obs_cam == repeat(arange(C), N),
+        with `n_per_cam` == N (enables reshape-based camera reductions —
+        zero scatters in the whole solve);
+      * `pt_obs_r` [P, D] gives, per point slot, the observation row indices
+        of its observers (-1 = none) — the transpose index built from the
+        map's `mp_obs_kf/kp` mirror;
+      * `prob.obs_w` is nonzero only for observations present in `pt_obs_r`
+        (point-side and camera-side reductions must see the same set).
+
+    With `psum_axis`, observation rows are sharded over that mesh axis:
+    Hcc/bc/S/rhs become partial sums that are psum-reduced before the solve
+    (the point side must be replicated or owner-complete per shard).
+    """
+    C = prob.cam_pose.shape[0]
+    P = prob.points.shape[0]
+    R = prob.obs_w.shape[0]
+    D = pt_obs_r.shape[1]
+    assert P % chunk == 0 or P < chunk, (P, chunk)
+    delta2 = jnp.where(prob.obs_ur >= 0,
+                       huber_delta2 * chi2_th_stereo / chi2_th_mono,
+                       huber_delta2)
+
+    act_pd = pt_obs_r >= 0                      # [P, D]
+    rs = jnp.clip(pt_obs_r, 0, None)
+    obs_cam_pd = jnp.where(act_pd, prob.obs_cam[rs], C)  # C = "no cam"
+    n_chunks = max(P // chunk, 1)
+    cam_ids = jnp.arange(C)
+
+    def maybe_psum(x):
+        return jax.lax.psum(x, psum_axis) if psum_axis else x
+
+    def seg_cam(vals):
+        """[R, ...] -> [C, ...] camera-major reshape reduction."""
+        out = vals.reshape((C, n_per_cam) + vals.shape[1:]).sum(1)
+        return maybe_psum(out)
+
+    def seg_pt(vals):
+        """[R, ...] -> [P, ...] via the mirror transpose (gather + sum)."""
+        g = jnp.where(act_pd.reshape(act_pd.shape + (1,) * (vals.ndim - 1)),
+                      vals[rs], 0.0)
+        return g.sum(1)
+
+    def chi2_fn(cam_pose, points):
+        e, _, _ = _residuals(prob, cam_pose, points)
+        return jnp.sum(e * e, -1) * prob.obs_w
+
+    def lm_step(carry, _):
+        cam_pose, points, lam = carry
+        e, Jc, Jp = _residuals(prob, cam_pose, points)
+        chi2 = jnp.sum(e * e, -1) * prob.obs_w
+        w_rob = _huber_w(chi2, delta2) if use_huber else jnp.ones_like(chi2)
+        w = prob.obs_w * w_rob                                   # [R]
+
+        Hcc = seg_cam(jnp.einsum('rij,rik,r->rjk', Jc, Jc, w))   # [C, 6, 6]
+        bc = seg_cam(jnp.einsum('rij,ri,r->rj', Jc, e, w))       # [C, 6]
+        Hpp_r = jnp.einsum('rij,rik,r->rjk', Jp, Jp, w)          # [R, 3, 3]
+        bp_r = jnp.einsum('rij,ri,r->rj', Jp, e, w)
+        Hpp = seg_pt(Hpp_r)                                      # [P, 3, 3]
+        bp = seg_pt(bp_r)                                        # [P, 3]
+        U = jnp.einsum('rij,rik,r->rjk', Jc, Jp, w)              # [R, 6, 3]
+
+        Hpp_inv = _inv3x3(Hpp + lam * jnp.eye(3))
+        Hpp_inv = jnp.where(prob.pt_var[:, None, None], Hpp_inv, 0.0)
+        L = _chol3x3(Hpp_inv)                                    # [P, 3, 3]
+
+        # whitened per-obs camera blocks Z = U L  -> [P, D, 6, 3]
+        Z = jnp.einsum('rjk,rkl->rjl', U, L[prob.obs_pid])
+        Z_pd = jnp.where(act_pd[..., None, None], Z[rs], 0.0)
+
+        # S_corr = G^T G accumulated over point chunks
+        def chunk_body(i, S):
+            sl = jax.lax.dynamic_slice_in_dim
+            oc = sl(obs_cam_pd, i * chunk, min(chunk, P), 0)     # [Pc, D]
+            zz = sl(Z_pd, i * chunk, min(chunk, P), 0)           # [Pc, D, 6, 3]
+            onehot = (oc[..., None] == cam_ids).astype(jnp.float32)
+            G = jnp.einsum('pdc,pdjl->plcj', onehot, zz)         # [Pc,3,C,6]
+            Gm = G.reshape(-1, C * 6)
+            return S + Gm.T @ Gm
+
+        S_corr = jax.lax.fori_loop(
+            0, n_chunks, chunk_body, jnp.zeros((C * 6, C * 6), jnp.float32))
+
+        # rhs = bc - W Hpp^-1 bp (camera side)
+        y = jnp.einsum('pkl,pl->pk', Hpp_inv, bp)                # [P, 3]
+        yb = jnp.einsum('rjk,rk->rj', U, y[prob.obs_pid])        # [R, 6]
+        rhs = bc - seg_cam(yb)
+        rhs = jnp.where(prob.cam_var[:, None], rhs, 0.0)
+
+        S_corr = maybe_psum(S_corr)
+        Hcc_big = jnp.zeros((C, 6, C, 6), jnp.float32)
+        Hcc_big = Hcc_big.at[cam_ids, :, cam_ids, :].set(
+            Hcc + lam * jnp.eye(6))
+        S = Hcc_big.reshape(C * 6, C * 6) - S_corr
+        # fixed cameras: identity rows/cols
+        var6 = jnp.repeat(prob.cam_var, 6)
+        S = jnp.where(var6[:, None] & var6[None, :], S, 0.0)
+        S = S + jnp.diag(jnp.where(var6, 0.0, 1.0))
+        dx = jnp.linalg.solve(S, -rhs.reshape(-1)).reshape(C, 6)
+        dx = jnp.where(prob.cam_var[:, None], dx, 0.0)
+
+        # back-substitute landmarks: dp = Hpp^-1 (-bp - W^T dx), gather-based
+        xg = dx[obs_cam_pd.clip(0, C - 1)]                       # [P, D, 6]
+        U_pd = jnp.where(act_pd[..., None, None], U[rs], 0.0)
+        s = jnp.einsum('pdjl,pdj->pl', U_pd, xg)                 # [P, 3]
+        dp = jnp.einsum('pkl,pl->pk', Hpp_inv, -bp - s)
+        dp = jnp.where(prob.pt_var[:, None], dp, 0.0)
+
+        new_cam = jax.vmap(lie.se3_retract)(cam_pose, dx)
+        new_cam = jnp.where(prob.cam_var[:, None], new_cam, cam_pose)
+        new_points = points + dp
+
+        old_cost = jnp.sum(chi2 * w_rob)
+        new_chi2 = chi2_fn(new_cam, new_points)
+        new_rob = _huber_w(new_chi2, delta2) if use_huber else 1.0
+        new_cost = maybe_psum(jnp.sum(new_chi2 * new_rob))
+        old_cost = maybe_psum(old_cost)
+        ok = (new_cost < old_cost) & jnp.all(jnp.isfinite(new_cam)) & \
+            jnp.all(jnp.isfinite(new_points))
+        cam_pose = jnp.where(ok, new_cam, cam_pose)
+        points = jnp.where(ok, new_points, points)
+        lam = jnp.clip(jnp.where(ok, lam * 0.3, lam * 5.0), 1e-9, 1e6)
+        return (cam_pose, points, lam), new_cost
+
+    (cam_pose, points, _), _ = jax.lax.scan(
+        lm_step, (prob.cam_pose, prob.points, jnp.float32(lam0)),
+        None, length=n_outer)
+
+    chi2 = chi2_fn(cam_pose, points)
+    th = jnp.where(prob.obs_ur >= 0, chi2_th_stereo, chi2_th_mono)
+    inlier = (chi2 <= th) & (prob.obs_w > 0)
+    return BAResult(cam_pose=cam_pose, points=points, chi2=chi2, inlier=inlier)
+
+
 def ba_solve(prob: BAProblem, n_outer: int = 10, n_cg: int = 40,
              huber_delta2: float = 5.991, use_huber: bool = True,
              lam0: float = 1e-4, chi2_th_mono: float = 5.991,

@@ -112,6 +112,29 @@ def cmd_run(args):
     print("trajectory saved to", out)
 
 
+def cmd_view(args):
+    """Render a saved map checkpoint / trajectory to an image (the headless
+    equivalent of the reference Pangolin viewer, Viewer.cc / MapDrawer.cc)."""
+    import numpy as np
+    from orb_slam2_tpu.viz import render_map, render_trajectory
+    traj = None
+    if args.traj:
+        rows = np.loadtxt(args.traj)
+        # TUM format: t tx ty tz qx qy qz qw -> [F, 7] wxyz + t
+        traj = np.concatenate([rows[:, [7, 4, 5, 6]], rows[:, 1:4]], axis=1)
+    if args.map:
+        from orb_slam2_tpu.map.checkpoint import load_map
+        state = load_map(args.map)
+        out = render_map(state, args.out, traj=traj,
+                         title=os.path.basename(args.map))
+    elif traj is not None:
+        out = render_trajectory(traj, args.out)
+    else:
+        print("need --map and/or --traj", file=sys.stderr)
+        return
+    print("wrote", out)
+
+
 def cmd_bench(args):
     import subprocess
     os.execvp(sys.executable, [sys.executable,
@@ -139,6 +162,11 @@ def main(argv=None):
     run.set_defaults(fn=cmd_run)
     bench = sub.add_parser("bench", help="run the driver benchmark")
     bench.set_defaults(fn=cmd_bench)
+    view = sub.add_parser("view", help="render a map/trajectory image")
+    view.add_argument("--map", help="map checkpoint (npz from save_map)")
+    view.add_argument("--traj", help="TUM-format trajectory file")
+    view.add_argument("--out", default="map.png")
+    view.set_defaults(fn=cmd_view)
     args = ap.parse_args(argv)
     args.fn(args)
 

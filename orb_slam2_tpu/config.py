@@ -38,6 +38,12 @@ class ORBConfig:
     half_patch_size: int = 15       # ORBextractor.cc:73
     edge_threshold: int = 19        # ORBextractor.cc:74
     cell_size: int = 30             # 30x30px FAST cells (ORBextractor.cc:789)
+    # Pre-descriptor Gaussian blur.  Reference uses 7x7 sigma=2
+    # (ORBextractor.cc:1086); with our own BRIEF pattern a 9x9 sigma=3 blur
+    # measurably improves true-pair Hamming (median 51 -> 44 on the synthetic
+    # benchmark) at identical best-match discriminability (scripts/exp_desc.py).
+    blur_ksize: int = 9
+    blur_sigma: float = 3.0
     # Static capacity: max keypoints kept per frame (padded/masked).
     max_keypoints: int = 1024
 
@@ -62,6 +68,12 @@ class MatchConfig:
     search_window_track: int = 7      # th for stereo/rgbd motion model (Tracking.cc:898)
     search_window_track_mono: int = 15  # mono motion model window (Tracking.cc:898)
     init_window: int = 100            # SearchForInitialization window (Tracking.cc:620)
+    # Initialization descriptor gate.  The reference uses TH_LOW=50
+    # (ORBmatcher.cc:449); our BRIEF pattern has a wider true-pair Hamming
+    # distribution on low-contrast imagery (scripts/exp_desc.py), so the
+    # two-view bootstrap admits more tentative pairs and lets the batched
+    # 8-point RANSAC reject the extras.
+    th_init: int = 75
     check_orientation: bool = True
 
 
@@ -96,7 +108,10 @@ class TrackingConfig:
 class InitConfig:
     """Monocular two-view initializer (reference Initializer.cc)."""
 
-    ransac_iters: int = 200         # Initializer.cc:78
+    # 200 in the reference (Initializer.cc:78); batched hypothesis scoring is
+    # one [iters, 8] einsum here so extra hypotheses are nearly free, and the
+    # wider th_init match set benefits from them
+    ransac_iters: int = 320
     sigma: float = 1.0              # Tracking.cc:593 Initializer(F, 1.0, 200)
     h_inlier_th: float = 5.991      # CheckHomography (Initializer.cc:310)
     f_inlier_th: float = 3.841      # CheckFundamental (Initializer.cc:395)
@@ -210,6 +225,7 @@ class Capacity:
     local_window: int = 80          # local-map KF cap (Tracking.cc:1285)
     local_ba_kfs: int = 32          # local BA variable KFs (covisible set)
     local_ba_fixed: int = 32        # fixed anchor KFs
+    local_ba_points: int = 8192     # compacted landmark slots in local BA
     grid_rows: int = 48             # FRAME_GRID_ROWS (Frame.h:37)
     grid_cols: int = 64             # FRAME_GRID_COLS (Frame.h:38)
     max_per_grid_cell: int = 16

@@ -108,7 +108,8 @@ def build_extractor(cfg: ORBConfig, height: int, width: int):
                                        float(cfg.ini_th_fast), float(cfg.min_th_fast))
             xy, resp, valid = _select_level(
                 smap, quota, border=cfg.edge_threshold - 3, n_grid=quota)
-            blurred = pyramid.gaussian_blur(lv_img)
+            blurred = pyramid.gaussian_blur(lv_img, cfg.blur_ksize,
+                                            cfg.blur_sigma)
             patches = orb.gather_patches(blurred, xy)
             ang = orb.ic_angle(patches)
             bits = orb.brief_descriptors(patches, ang)

@@ -136,6 +136,16 @@ def point_obs_count(state: MapState) -> jnp.ndarray:
     return cnt[:M]
 
 
+def weighted_obs_count(state: MapState) -> jnp.ndarray:
+    """[M] nObs with stereo observations counted twice (reference
+    MapPoint::AddObservation, MapPoint.cc:105-109)."""
+    okf, okp = state.mp_obs_kf, state.mp_obs_kp
+    ok = okf >= 0
+    ur = state.kf_ur[jnp.clip(okf, 0, None), jnp.clip(okp, 0, None)]
+    w = jnp.where(ur >= 0, 2, 1)
+    return jnp.sum(jnp.where(ok, w, 0), axis=1).astype(jnp.int32)
+
+
 def update_covisibility_for_kf(state: MapState, k: jnp.ndarray) -> MapState:
     """Recompute row/col k of the covisibility matrix: weight(k, j) = number
     of shared map points (reference KeyFrame::UpdateConnections,

@@ -132,12 +132,19 @@ def search_for_initialization(feat1_uv, feat1_desc, feat1_angle, feat1_oct,
                               max_dist: float, ratio: float,
                               check_rotation: bool = True) -> MatchResult:
     """Mono-init matcher (reference SearchForInitialization,
-    ORBmatcher.cc:405-520): level-0 keypoints only, spatial window around the
-    same location, TH_LOW + ratio + rotation filter."""
+    ORBmatcher.cc:405-520): spatial window around the same location,
+    threshold + ratio + rotation filter.
+
+    Deviation: the reference restricts to level-0 keypoints (ORBmatcher.cc:
+    422-423) and compensates with a dedicated 2x-feature extractor for init
+    frames (Tracking.cc:108).  Here all pyramid levels participate with an
+    octave-equality gate — the dense matcher prices extra rows at zero, and
+    the multi-level pool yields ~4x the tentative matches of level 0 alone
+    (the batched RANSAC absorbs the added scale-localization noise)."""
     from orb_slam2_tpu.matching.hamming import hamming_matrix
     dist = hamming_matrix(feat1_desc, feat2_desc)
     gate = window_gate(feat1_uv, feat2_uv, window)
-    gate = gate & (feat1_oct[:, None] == 0) & (feat2_oct[None, :] == 0)
+    gate = gate & (feat1_oct[:, None] == feat2_oct[None, :])
     res = match_descriptors(dist, gate, max_dist, ratio, feat1_valid, feat2_valid)
     idx = res.idx
     if check_rotation:

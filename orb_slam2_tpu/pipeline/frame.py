@@ -89,16 +89,64 @@ def build_rgbd_frame_fn(cfg: SLAMConfig):
     return fn
 
 
+def _sad_subpixel(img_l, img_r, uv_l, ur0, octave, matched, scale_factors,
+                  w: int = 5, slide: int = 5):
+    """Sliding-window SAD disparity refinement + parabola subpixel fit
+    (reference Frame::ComputeStereoMatches, Frame.cc:552-608).
+
+    The reference runs the (2w+1)^2 SAD at the keypoint's pyramid level; here
+    the windows are sampled from the level-0 images with the window *stride*
+    scaled by the keypoint's level (same spatial support, no per-level image
+    plumbing).  Returns (ur_refined [N], sad_best [N]).
+    """
+    H, W = img_l.shape
+    N = uv_l.shape[0]
+    s = scale_factors[octave]                      # [N]
+    d = jnp.arange(-w, w + 1, dtype=jnp.float32)
+    # [N, 11, 11] sample offsets scaled per keypoint
+    oy = d[None, :, None] * s[:, None, None]
+    ox = d[None, None, :] * s[:, None, None]
+
+    def window(img, cx, cy):
+        ys = jnp.clip(jnp.round(cy[:, None, None] + oy).astype(jnp.int32),
+                      0, H - 1)
+        xs = jnp.clip(jnp.round(cx[:, None, None] + ox).astype(jnp.int32),
+                      0, W - 1)
+        return img[ys, xs]
+
+    wl = window(img_l, uv_l[:, 0], uv_l[:, 1])
+    wl = wl - wl[:, w:w + 1, w:w + 1]              # center-normalize (:557)
+
+    def sad_at(r):
+        wr = window(img_r, ur0 + r * s, uv_l[:, 1])
+        wr = wr - wr[:, w:w + 1, w:w + 1]
+        return jnp.sum(jnp.abs(wl - wr), axis=(1, 2))
+
+    sads = jnp.stack([sad_at(float(r)) for r in range(-slide, slide + 1)], 1)
+    best = jnp.argmin(sads, axis=1)                # [N] in [0, 2*slide]
+    interior = (best > 0) & (best < 2 * slide)
+    bi = jnp.clip(best, 1, 2 * slide - 1)
+    sm1 = sads[jnp.arange(N), bi - 1]
+    s0 = sads[jnp.arange(N), bi]
+    sp1 = sads[jnp.arange(N), bi + 1]
+    denom = sm1 - 2.0 * s0 + sp1
+    delta = 0.5 * (sm1 - sp1) / jnp.where(jnp.abs(denom) > 1e-6, denom, 1e-6)
+    delta = jnp.clip(delta, -1.0, 1.0)
+    off = (bi.astype(jnp.float32) - slide + delta) * s
+    ur_ref = jnp.where(matched & interior, ur0 + off, ur0)
+    return ur_ref, jnp.where(matched, s0, jnp.inf)
+
+
 def build_stereo_frame_fn(cfg: SLAMConfig):
-    """Stereo: extract on both images (batched), match left-right within row
-    bands and the valid disparity range, keep best-Hamming candidate
-    (reference Frame::ComputeStereoMatches, Frame.cc:466-640; the +-5px SAD
-    subpixel pass is replaced by keypoint-accurate disparity for now)."""
+    """Stereo: extract on both images, match left-right within row bands and
+    the valid disparity range (best Hamming candidate), then refine the
+    disparity with a +-5 sliding SAD window + parabola subpixel fit and cut
+    outliers at 1.5*1.4*median SAD (reference Frame::ComputeStereoMatches,
+    Frame.cc:466-640)."""
     extract = build_extractor(cfg.orb, cfg.camera.height, cfg.camera.width)
     K = camera.intrinsics(cfg.camera)
     bf = cfg.camera.bf
     scale_factors = jnp.asarray(cfg.orb.scale_factors, jnp.float32)
-    th_dist = float(hamming.N_BITS)  # gate applied below
 
     def fn(img_l, img_r, frame_id, timestamp):
         fl = extract(img_l)
@@ -120,11 +168,20 @@ def build_stereo_frame_fn(cfg: SLAMConfig):
             dist, gate, max_dist=cfg.match.th_high, ratio=None,
             valid_a=fl.valid, valid_b=fr.valid)
         matched = res.idx >= 0
-        ur = jnp.where(matched, fr.uv[jnp.clip(res.idx, 0, None), 0], -1.0)
-        disp_m = jnp.clip(fl.uv[:, 0] - ur, 0.01, None)
-        depth = jnp.where(matched, bf / disp_m, -1.0)
+        ur0 = jnp.where(matched, fr.uv[jnp.clip(res.idx, 0, None), 0], -1.0)
+
+        ur, sad = _sad_subpixel(img_l, img_r, fl.uv, ur0, fl.octave, matched,
+                                scale_factors)
+        # median SAD outlier cut (Frame.cc:626-639)
+        n_m = jnp.maximum(jnp.sum(matched.astype(jnp.int32)), 1)
+        sad_sorted = jnp.sort(jnp.where(matched, sad, jnp.inf))
+        med = sad_sorted[jnp.clip((n_m - 1) // 2, 0, sad.shape[0] - 1)]
+        keep = matched & (sad <= 1.5 * 1.4 * med)
+
+        disp_m = jnp.clip(fl.uv[:, 0] - ur, 0.01, max_d)
+        depth = jnp.where(keep, bf / disp_m, -1.0)
         n = fl.uv.shape[0]
-        return _finish(cfg, fl, jnp.where(matched, ur, jnp.full((n,), -1.0)),
+        return _finish(cfg, fl, jnp.where(keep, ur, jnp.full((n,), -1.0)),
                        depth, frame_id, timestamp)
 
     return fn

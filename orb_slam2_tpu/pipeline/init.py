@@ -33,7 +33,7 @@ def match_for_init(ts: TrackState, frame: Frame, cfg: SLAMConfig):
         ts.init_uv, ts.init_desc, ts.init_angle, ts.init_octave,
         ts.init_kp_valid, frame.uv, frame.desc, frame.angle, frame.octave,
         frame.valid, window=float(cfg.match.init_window),
-        max_dist=float(cfg.match.th_low), ratio=cfg.match.nn_ratio_init)
+        max_dist=float(cfg.match.th_init), ratio=cfg.match.nn_ratio_init)
 
 
 def create_mono_map(state: MapState, ts: TrackState, frame: Frame,
@@ -92,6 +92,15 @@ def create_mono_map(state: MapState, ts: TrackState, frame: Frame,
         last_angle=frame.angle, last_valid=frame.valid,
         ref_kf=k1, last_kf_frame_id=frame.frame_id,
         init_valid_frame=jnp.asarray(False))
+    # log the first init frame's pose (identity at KF0) into the trajectory
+    # so exports start at the true sequence start (System.cc:361 includes it)
+    i0 = jnp.clip(ts.init_frame_id, 0, ts.traj_T.shape[0] - 1)
+    ts = ts._replace(
+        traj_T=ts.traj_T.at[i0].set(lie.se3_identity()),
+        traj_rel=ts.traj_rel.at[i0].set(lie.se3_identity()),
+        traj_ref=ts.traj_ref.at[i0].set(k0),
+        traj_ok=ts.traj_ok.at[i0].set(True),
+        traj_t=ts.traj_t.at[i0].set(ts.init_timestamp))
     return state, ts, res.ok
 
 

@@ -180,7 +180,12 @@ def create_depth_points(state: MapState, kf_id, cfg: SLAMConfig) -> MapState:
     free = state.kf_kp_valid[kf_id] & (state.kf_obs[kf_id] < 0)
     th_depth = cfg.camera.th_depth * cfg.camera.baseline if cfg.camera.bf > 0 \
         else jnp.inf
-    want = free & (depth > 0) & (depth < th_depth)
+    has = free & (depth > 0)
+    # close points always; far points by depth order until close_depth_n
+    # total (reference sorts by depth and stops at 100 / thDepth,
+    # Tracking.cc:1100-1136)
+    rank = jnp.argsort(jnp.argsort(jnp.where(has, depth, jnp.inf)))
+    want = has & ((depth < th_depth) | (rank < cfg.tracking.close_depth_n))
     T = state.kf_pose[kf_id]
     pc = camera.unproject(K, state.kf_uv[kf_id], depth)
     pw = lie.se3_apply(lie.se3_inverse(T), pc)
@@ -215,6 +220,110 @@ def cull_points(state: MapState, kf_id, cfg: SLAMConfig) -> MapState:
     # never probation-culled.
     bad = bad & (age <= 3) & (state.mp_first_kf >= 2)
     return ops.cull_points(state, bad)
+
+
+def cull_keyframe(state: MapState, ts, c, cfg: SLAMConfig):
+    """Invalidate keyframe `c` (reference KeyFrame::SetBadFlag,
+    KeyFrame.cc:453-545): erase its observations (discarding points left with
+    nObs<=2, MapPoint.cc:111-137), re-parent its spanning-tree children by
+    max covisibility, store the relative pose mTcp (KeyFrame.cc:538), and
+    retarget device-trajectory records that referenced it to its parent so
+    SaveTrajectory* stays exact (reference walks the parent chain at export,
+    System.cc:361-366; here the chain is collapsed eagerly at cull time).
+
+    Returns (state, ts)."""
+    from orb_slam2_tpu.map.state import weighted_obs_count
+    from orb_slam2_tpu.pipeline.tracking import TrackState  # noqa: F401 (doc)
+    K = state.kf_valid.shape[0]
+    M = state.mp_pos.shape[0]
+    parent = state.kf_parent[c]
+    parent = jnp.where(parent >= 0, parent, 0).astype(jnp.int32)
+    rel_cp = lie.se3_compose(state.kf_pose[c],
+                             lie.se3_inverse(state.kf_pose[parent]))
+    pids = state.kf_obs[c]
+    touched = jnp.zeros((M + 1,), bool).at[
+        jnp.where(pids >= 0, pids, M)].set(True)[:M]
+    state = ops.remove_obs(state, c, jnp.ones((state.kf_obs.shape[1],), bool))
+    # EraseObservation discard rule: stereo-weighted nObs <= 2 after erase
+    w_cnt = weighted_obs_count(state)
+    state = ops.cull_points(state, touched & state.mp_valid & (w_cnt <= 2))
+    state = state._replace(
+        kf_valid=state.kf_valid.at[c].set(False),
+        covis=state.covis.at[c, :].set(0).at[:, c].set(0),
+        kf_bow=state.kf_bow.at[c].set(0.0),
+        kf_pose_rel=state.kf_pose_rel.at[c].set(rel_cp))
+    # re-parent children: greedy max-covisibility earlier valid KF
+    # (KeyFrame.cc:479-535; earlier-id restriction keeps the tree acyclic),
+    # falling back to the culled KF's own parent
+    ids = jnp.arange(K)
+    children = state.kf_parent == c
+    w = jnp.where(state.kf_valid[None, :] & (ids[None, :] < ids[:, None]),
+                  state.covis, -1)
+    best = jnp.argmax(w, axis=1).astype(jnp.int32)
+    new_par = jnp.where(jnp.max(w, axis=1) > 0, best, parent)
+    state = state._replace(
+        kf_parent=jnp.where(children, new_par, state.kf_parent))
+    # retarget trajectory records: T_frame = rel o T_c = (rel o rel_cp) o T_p
+    hit = ts.traj_ref == c
+    rel2 = jax.vmap(lambda r: lie.se3_compose(r, rel_cp))(ts.traj_rel)
+    ts = ts._replace(
+        traj_rel=jnp.where(hit[:, None], rel2, ts.traj_rel),
+        traj_ref=jnp.where(hit, parent, ts.traj_ref))
+    return state, ts
+
+
+def cull_redundant_keyframes(state: MapState, ts, kf_id, cfg: SLAMConfig,
+                             n_candidates: int = 10):
+    """Reference LocalMapping::KeyFrameCulling (LocalMapping.cc:632-696):
+    a covisible keyframe of the new KF is redundant if >90% of the map
+    points it sees (close points only for stereo/RGB-D) are observed by at
+    least 3 other keyframes at the same or finer scale.
+
+    One keyframe is culled per pass (the most redundant) — the reference's
+    sequential loop re-evaluates liveness after each SetBadFlag; culling the
+    argmax per keyframe insertion gives the same bounded-map steady state
+    without a sequential scan.  Returns (state, ts)."""
+    th_obs = cfg.mapping.kf_cull_th_obs
+    cands = covisible_neighbors(state, kf_id, n_candidates, min_weight=15)
+
+    def redundancy(c):
+        csafe = jnp.clip(c, 0, None)
+        pids = state.kf_obs[csafe]
+        valid = (pids >= 0)
+        if cfg.sensor != 0:
+            # only close stereo points count (LocalMapping.cc:657-661)
+            thd = cfg.camera.th_depth * cfg.camera.baseline
+            d = state.kf_depth[csafe]
+            valid = valid & (d > 0) & (d < thd)
+        safe = jnp.clip(pids, 0, None)
+        okf = state.mp_obs_kf[safe]            # [N, D]
+        okp = state.mp_obs_kp[safe]
+        o_ok = okf >= 0
+        kfs, kps = jnp.clip(okf, 0, None), jnp.clip(okp, 0, None)
+        obs_oct = state.kf_octave[kfs, kps]
+        wgt = jnp.where(state.kf_ur[kfs, kps] >= 0, 2, 1)
+        tot_w = jnp.sum(jnp.where(o_ok, wgt, 0), axis=1)
+        scale = state.kf_octave[csafe]
+        fine = o_ok & (okf != csafe) & (obs_oct <= scale[:, None] + 1)
+        n_fine = jnp.sum(fine.astype(jnp.int32), axis=1)
+        red = valid & (tot_w > th_obs) & (n_fine >= th_obs)
+        nmp = jnp.sum(valid.astype(jnp.int32))
+        nred = jnp.sum(red.astype(jnp.int32))
+        ratio = nred / jnp.maximum(nmp, 1).astype(jnp.float32)
+        cull = ((c > 0) & (c != kf_id) & (nmp > 0) &
+                (nred > cfg.mapping.kf_cull_redundancy * nmp))
+        return cull, ratio
+
+    culls, ratios = jax.vmap(redundancy)(cands)
+    score = jnp.where(culls, ratios, -1.0)
+    bi = jnp.argmax(score)
+    c = jnp.where(culls[bi], cands[bi], -1)
+
+    def do(args):
+        st, t = args
+        return cull_keyframe(st, t, jnp.clip(c, 0, None), cfg)
+
+    return jax.lax.cond(c >= 0, do, lambda a: a, (state, ts))
 
 
 def fuse_neighbors(state: MapState, kf_id, cfg: SLAMConfig,

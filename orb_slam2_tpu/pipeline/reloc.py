@@ -3,9 +3,9 @@
 
 One jitted step: BoW vector -> relocalization candidates -> per-candidate
 brute-force descriptor match -> batched EPnP RANSAC -> motion-only BA ->
-best candidate wins.  The reference's iterative escalation loop
-(P4P rounds + guided reprojection top-up at two window sizes) collapses into
-the batched RANSAC + the dense matcher's wider gates.
+guided-reprojection escalation (two rounds: window 10 / Hamming 100, then
+window 3 / Hamming 64, re-optimizing after each top-up — reference
+Tracking.cc:1449-1487) -> best candidate wins.
 """
 
 from __future__ import annotations
@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from orb_slam2_tpu.config import SLAMConfig
-from orb_slam2_tpu.core import camera
+from orb_slam2_tpu.core import camera, lie
 from orb_slam2_tpu.map.state import MapState
 from orb_slam2_tpu.matching import hamming, search
 from orb_slam2_tpu.pipeline.frame import Frame
@@ -65,8 +65,70 @@ def build_reloc_step(cfg: SLAMConfig, transform):
                 rr.T, pw, frame.uv, frame.ur, inv_sigma2,
                 valid & rr.inliers, frame.ur >= 0, K, bf, cfg.ba)
             pids_final = jnp.where(opt.inliers, pids, -1)
-            good = rr.ok & (opt.n_inliers >= 50)   # Tracking.cc:1487 gate
-            return good, opt.T, opt.n_inliers, pids_final
+
+            # --- guided-reprojection escalation (Tracking.cc:1449-1487):
+            # project the candidate KF's map points at the current estimate
+            # and top up matches, then re-optimize; two rounds with
+            # tightening window / descriptor gates ---
+            from orb_slam2_tpu.map.state import resolve_replaced
+            from orb_slam2_tpu.pipeline.tracking import predict_scale
+            M = state.mp_pos.shape[0]
+            kf_all = resolve_replaced(state, state.kf_obs[csafe])
+            kf_safe = jnp.clip(kf_all, 0, None)
+            kf_ok = ((c >= 0) & (kf_all >= 0) & state.mp_valid[kf_safe] &
+                     state.kf_kp_valid[csafe])
+            pw_kf = state.mp_pos[kf_safe]
+
+            def topup(T_in, pids_in, window, max_d):
+                already = jnp.zeros((M + 1,), bool).at[
+                    jnp.where(pids_in >= 0, pids_in, M)].set(True)[:M]
+                src_ok = kf_ok & ~already[kf_safe]
+                pc = lie.se3_apply(T_in, pw_kf)
+                uv_pred = camera.project(K, pc)
+                bounds = jnp.asarray([0.0, cfg.camera.width,
+                                      0.0, cfg.camera.height])
+                src_ok = src_ok & (pc[:, 2] > 0) & \
+                    camera.in_image(uv_pred, bounds)
+                cam_c = -lie.quat_rotate(lie.quat_conj(T_in[:4]), T_in[4:7])
+                d = jnp.linalg.norm(pw_kf - cam_c, axis=-1)
+                pred = predict_scale(d, state.mp_max_dist[kf_safe],
+                                     cfg.orb.scale_factor, cfg.orb.n_levels)
+                radius = window * cfg.orb.scale_factor ** \
+                    pred.astype(jnp.float32)
+                res2 = search.search_by_projection(
+                    uv_pred, pred, state.mp_desc[kf_safe], src_ok,
+                    frame.uv, frame.octave, frame.desc, frame.angle,
+                    frame.valid & (pids_in < 0),
+                    radius, max_dist=max_d, ratio=None, oct_lo=-1, oct_hi=1)
+                tgt2 = jnp.where(res2.idx >= 0, res2.idx, N)
+                add = jnp.concatenate([
+                    jnp.full((N,), -1, jnp.int32),
+                    jnp.full((1,), -1, jnp.int32)]).at[tgt2].set(
+                        jnp.where(res2.idx >= 0, kf_all, -1))[:N]
+                pids_up = jnp.where(pids_in >= 0, pids_in, add)
+                valid_up = pids_up >= 0
+                opt_up = pose_opt.pose_optimize(
+                    T_in, state.mp_pos[jnp.clip(pids_up, 0, None)],
+                    frame.uv, frame.ur, inv_sigma2, valid_up,
+                    frame.ur >= 0, K, bf, cfg.ba)
+                return opt_up, jnp.where(opt_up.inliers, pids_up, -1)
+
+            # round 1: window 10, ORBdist 100 (Tracking.cc:1459)
+            opt_b, pids_b = topup(opt.T, pids_final, 10.0, 100)
+            use_b = (opt.n_inliers < 50) & (opt.n_inliers > 10) & \
+                (opt_b.n_inliers > opt.n_inliers)
+            T1 = jnp.where(use_b, opt_b.T, opt.T)
+            inl1 = jnp.where(use_b, opt_b.n_inliers, opt.n_inliers)
+            pids1 = jnp.where(use_b, pids_b, pids_final)
+            # round 2: window 3, ORBdist 64 (Tracking.cc:1472)
+            opt_c, pids_c = topup(T1, pids1, 3.0, 64)
+            use_c = (inl1 > 30) & (inl1 < 50) & (opt_c.n_inliers > inl1)
+            T2 = jnp.where(use_c, opt_c.T, T1)
+            inl2 = jnp.where(use_c, opt_c.n_inliers, inl1)
+            pids2 = jnp.where(use_c, pids_c, pids1)
+
+            good = rr.ok & (inl2 >= 50)   # Tracking.cc:1487 gate
+            return good, T2, inl2, pids2
 
         subs = jax.random.split(key, n_cand)
         goods, Ts, n_inls, pids_all = [], [], [], []

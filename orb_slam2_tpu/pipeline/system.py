@@ -111,6 +111,8 @@ class SLAM:
             ts = ts._replace(T=T_new, last_T=T_new, ref_kf=kf_id,
                              last_kf_frame_id=frame.frame_id)
             ts = record_traj(state, ts, frame, jnp.asarray(True))
+            # redundant-keyframe culling (LocalMapping.cc:84, :632-696)
+            state, ts = mapping.cull_redundant_keyframes(state, ts, kf_id, cfg)
             return state, ts
 
         self._keyframe_step = jax.jit(keyframe_step)
@@ -378,6 +380,7 @@ class SLAM:
         """Download the device trajectory once and rebuild frame poses as
         Tcr x (final optimized) reference-KF pose (reference
         System::SaveTrajectoryTUM, System.cc:322-380) — one batched jit."""
+        self.flush()
 
         @jax.jit
         def rebuild(ts: TrackState, kf_pose):
@@ -408,6 +411,67 @@ class SLAM:
                 qw, qx, qy, qz, tx, ty, tz = Twc
                 f.write(f"{t:.6f} {tx:.7f} {ty:.7f} {tz:.7f} "
                         f"{qx:.7f} {qy:.7f} {qz:.7f} {qw:.7f}\n")
+
+    def save_keyframe_trajectory_tum(self, path: str):
+        """Reference System::SaveKeyFrameTrajectoryTUM (System.cc:383-417):
+        one TUM-format line per live keyframe, ordered by id."""
+        self.flush()
+        valid = np.asarray(self.state.kf_valid)
+        tstamp = np.asarray(self.state.kf_timestamp)
+        Twc = np.asarray(jax.vmap(lie.se3_inverse)(self.state.kf_pose))
+        with open(path, "w") as f:
+            for k in np.nonzero(valid)[0]:
+                qw, qx, qy, qz, tx, ty, tz = Twc[k]
+                f.write(f"{tstamp[k]:.6f} {tx:.7f} {ty:.7f} {tz:.7f} "
+                        f"{qx:.7f} {qy:.7f} {qz:.7f} {qw:.7f}\n")
+
+    # ------------------------------------------------------------------
+    # map checkpoint / resume (SURVEY.md §5; reference System.h:115-117 TODO)
+    def save_map(self, path: str):
+        """Checkpoint the full map to a compressed npz."""
+        from orb_slam2_tpu.map.checkpoint import save_map
+        self.flush()
+        save_map(self.state, path)
+
+    def load_map(self, path: str):
+        """Load a prebuilt map and arm relocalization: the next frames track
+        against it (pair with activate_localization_mode() for pure
+        localization, reference README.md:232-239)."""
+        from orb_slam2_tpu.map.checkpoint import load_map
+        self.state = load_map(path)
+        self.ts = tracking.empty_track_state(self.cfg)
+        self.ts = self.ts._replace(status=jnp.asarray(LOST, jnp.int32),
+                                   ref_kf=jnp.asarray(0, jnp.int32))
+        self.status = LOST
+        self._pending.clear()
+        self._loop_pending.clear()
+        self._reloc_pending = None
+
+    # ------------------------------------------------------------------
+    # observability (reference System.cc:474-490)
+    def get_tracking_state(self) -> int:
+        """Reference System::GetTrackingState."""
+        return self.status
+
+    def get_tracked_map_points(self) -> np.ndarray:
+        """Per-keypoint map-point id of the last tracked frame (-1 = none);
+        the array equivalent of System::GetTrackedMapPoints."""
+        self.flush()
+        return np.asarray(self.ts.last_pids)
+
+    def get_tracked_keypoints_un(self) -> np.ndarray:
+        """Undistorted keypoints [N, 2] of the last tracked frame with their
+        validity mask [N] (System::GetTrackedKeyPointsUn)."""
+        self.flush()
+        return np.asarray(self.ts.last_uv), np.asarray(self.ts.last_valid)
+
+    def map_changed(self) -> bool:
+        """Reference System::MapChanged (System.cc:282-293): big-change
+        counter advanced by loop correction / global BA."""
+        idx = int(self.state.big_change)
+        changed = idx != getattr(self, "_last_big_change", 0)
+        self._last_big_change = idx
+        return changed
 
     def save_trajectory_kitti(self, path: str):
         """KITTI format: per-frame 3x4 row-major Twc matrix

@@ -376,10 +376,28 @@ def build_track_step(cfg: SLAMConfig):
         frames_since = frame.frame_id - ts.last_kf_frame_id
         n_inliers = opt2.n_inliers
         c1a = frames_since >= cfg.tracking.max_frames_hint
-        c2 = (n_inliers < n_ref * th_ratio) & (n_inliers > 15)
         gap_ok = frames_since >= cfg.tracking.min_kf_gap
         room = state.next_kf < state.kf_valid.shape[0] - 2
-        need_kf = ok & room & (c1a | (c2 & gap_ok))
+        if cfg.sensor != 0:
+            # close-point conditions c1b/c1c (Tracking.cc:1002-1037): track
+            # too few close points while enough close candidates exist
+            thd = cfg.camera.th_depth * cfg.camera.baseline
+            close = frame.valid & (frame.depth > 0) & (frame.depth < thd)
+            n_tc = jnp.sum((close & (cur_pids >= 0)).astype(jnp.int32))
+            n_ntc = jnp.sum((close & (cur_pids < 0)).astype(jnp.int32))
+            need_close = (n_tc < cfg.tracking.close_depth_n) & \
+                         (n_ntc > cfg.tracking.close_trackable_min)
+            # c1b: MinFrames passed + mapping idle (Tracking.cc:1031) — the
+            # deterministic idle substitute is the min_kf_gap throttle
+            c1b = gap_ok
+            c1c = (n_inliers < n_ref * 0.25) | need_close
+            c2 = ((n_inliers < n_ref * th_ratio) | need_close) & \
+                (n_inliers > 15)
+            # reference combination: (c1a | c1b | c1c) & c2 (Tracking.cc:1039)
+            need_kf = ok & room & ((c1a | c1b | c1c) & c2)
+        else:
+            c2 = (n_inliers < n_ref * th_ratio) & (n_inliers > 15)
+            need_kf = ok & room & (c1a | (c2 & gap_ok))
 
         new_ts = record_traj(state, new_ts, frame, ok)
 

@@ -60,6 +60,103 @@ class Vocabulary:
 
 
 # ---------------------------------------------------------------------------
+# DBoW2 text format (ORBvoc.txt) interchange
+# ---------------------------------------------------------------------------
+
+def load_orbvoc_text(path: str, levels_up: int = 4,
+                     truncate_depth: Optional[int] = None) -> Vocabulary:
+    """Load a DBoW2 text vocabulary (the reference's ORBvoc.txt; format
+    written by TemplatedVocabulary::saveToTextFile and parsed at
+    TemplatedVocabulary.h:1338-1420):
+
+        k L scoring_type weighting_type
+        <parent_id> <is_leaf> <32 descriptor bytes> <weight>   (per node)
+
+    Node ids are implicit (1..n in file order, root = 0).  Word ids are
+    assigned to leaves in increasing node-id order (createWords).
+
+    `truncate_depth`: optionally cut the tree at a shallower depth, turning
+    depth-`truncate_depth` nodes into words (weights = sum of descendant leaf
+    weights).  The shipped ORBvoc is k=10 L=6 (~1M words); the dense-BoW TPU
+    formulation wants <= ~10-100k words, so L=4 truncation is the practical
+    setting for drop-in use."""
+    with open(path) as f:
+        header = f.readline().split()
+        k, L = int(header[0]), int(header[1])
+        parents, leaves, descs, weights = [], [], [], []
+        for line in f:
+            parts = line.split()
+            if len(parts) < 35:
+                continue
+            parents.append(int(parts[0]))
+            leaves.append(int(parts[1]))
+            descs.append([int(x) for x in parts[2:34]])
+            weights.append(float(parts[34]))
+    n = len(parents) + 1                      # + root
+    parents = np.asarray(parents, np.int32)
+    leaves = np.asarray(leaves, bool)
+    node_desc = np.zeros((n, 32), np.uint8)
+    node_desc[1:] = np.asarray(descs, np.uint8)
+    w_all = np.zeros((n,), np.float32)
+    w_all[1:] = np.asarray(weights, np.float32)
+
+    node_children = np.full((n, k), -1, np.int32)
+    child_count = np.zeros((n,), np.int32)
+    for i, p in enumerate(parents, start=1):
+        node_children[p, child_count[p]] = i
+        child_count[p] += 1
+
+    depth = L
+    # word ids: leaves in increasing node-id order
+    is_leaf = np.zeros((n,), bool)
+    is_leaf[1:] = leaves
+    if truncate_depth is not None and truncate_depth < L:
+        dep = np.zeros((n,), np.int32)
+        for i, p in enumerate(parents, start=1):
+            dep[i] = dep[p] + 1
+        # accumulate each original leaf's weight up to its cut-depth ancestor
+        anc = np.arange(n)
+        for _ in range(L - truncate_depth):
+            deeper = dep[anc] > truncate_depth
+            anc = np.where(deeper, np.concatenate([[0], parents])[anc], anc)
+        agg_w = np.zeros((n,), np.float32)
+        np.add.at(agg_w, anc[is_leaf], w_all[is_leaf])
+        is_leaf = dep == truncate_depth
+        node_children[is_leaf] = -1
+        w_all = agg_w
+        depth = truncate_depth
+
+    word_id = np.full((n,), -1, np.int32)
+    leaf_ids = np.nonzero(is_leaf)[0]
+    word_id[leaf_ids] = np.arange(len(leaf_ids), dtype=np.int32)
+    word_weight = w_all[leaf_ids].astype(np.float32)
+    return Vocabulary(k=k, depth=depth, node_children=node_children,
+                      node_desc=node_desc, word_id=word_id,
+                      word_weight=word_weight, n_words=len(leaf_ids),
+                      levels_up=levels_up if depth > levels_up else
+                      max(depth - 2, 0))
+
+
+def save_orbvoc_text(vocab: Vocabulary, path: str) -> None:
+    """Write the vocabulary in the DBoW2 text format (readable by the
+    reference's loadFromTextFile) — scoring L1_NORM(0), weighting TF_IDF(0)."""
+    n = vocab.node_children.shape[0]
+    parent = np.zeros((n,), np.int32)
+    for p in range(n):
+        for c in vocab.node_children[p]:
+            if c >= 0:
+                parent[c] = p
+    with open(path, "w") as f:
+        f.write(f"{vocab.k} {vocab.depth} 0 0\n")
+        for i in range(1, n):
+            leaf = 1 if vocab.word_id[i] >= 0 else 0
+            w = (vocab.word_weight[vocab.word_id[i]]
+                 if vocab.word_id[i] >= 0 else 0.0)
+            bytes_ = " ".join(str(int(b)) for b in vocab.node_desc[i])
+            f.write(f"{parent[i]} {leaf} {bytes_} {w}\n")
+
+
+# ---------------------------------------------------------------------------
 # training (host-side numpy; done once per deployment)
 # ---------------------------------------------------------------------------
 

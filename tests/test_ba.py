@@ -115,3 +115,75 @@ def test_ba_inactive_obs_ignored():
     prob = prob._replace(obs_w=jnp.asarray(w))
     res = jax.jit(lambda p: ba_solve(p, n_outer=12, n_cg=30))(prob)
     assert _pose_err(res.cam_pose, poses_gt) < 0.02
+
+
+# ---------------------------------------------------------------------------
+# dense-Schur solver (ba_solve_dense): the production single-chip path
+# ---------------------------------------------------------------------------
+
+def _mirror_for(n_cams, n_pts):
+    """pt_obs_r for the all-cams-see-all-points layout: r = c*n_pts + p."""
+    return (jnp.arange(n_cams)[None, :] * n_pts +
+            jnp.arange(n_pts)[:, None]).astype(jnp.int32)
+
+
+def test_ba_dense_converges_mono():
+    prob, poses_gt, pts_gt = _make_problem()
+    mir = _mirror_for(6, 120)
+    res = jax.jit(lambda p: __import__(
+        'orb_slam2_tpu.ba.schur', fromlist=['x']).ba_solve_dense(
+        p, mir, n_per_cam=120, n_outer=10, chunk=120))(prob)
+    err1 = _pose_err(res.cam_pose, poses_gt)
+    assert err1 < 0.01, f"pose err {err1}"
+    assert float(jnp.mean(res.inlier)) > 0.97
+
+
+def test_ba_dense_converges_stereo():
+    from orb_slam2_tpu.ba.schur import ba_solve_dense
+    prob, poses_gt, pts_gt = _make_problem(stereo=True, noise_px=0.3)
+    mir = _mirror_for(6, 120)
+    res = jax.jit(lambda p: ba_solve_dense(
+        p, mir, n_per_cam=120, n_outer=10, chunk=120))(prob)
+    assert _pose_err(res.cam_pose, poses_gt) < 0.01
+
+
+def test_ba_dense_rejects_outliers():
+    from orb_slam2_tpu.ba.schur import ba_solve_dense
+    prob, poses_gt, pts_gt = _make_problem(noise_px=0.3)
+    rng = np.random.RandomState(5)
+    bad = rng.choice(prob.obs_uv.shape[0], 60, replace=False)
+    uv = np.asarray(prob.obs_uv).copy()
+    uv[bad] += rng.randn(60, 2) * 50 + 20
+    prob = prob._replace(obs_uv=jnp.asarray(uv))
+    mir = _mirror_for(6, 120)
+    res = jax.jit(lambda p: ba_solve_dense(
+        p, mir, n_per_cam=120, n_outer=12, chunk=120))(prob)
+    assert _pose_err(res.cam_pose, poses_gt) < 0.02
+    assert np.asarray(res.inlier)[bad].mean() < 0.2
+
+
+def test_ba_dense_respects_fixed_and_inactive():
+    from orb_slam2_tpu.ba.schur import ba_solve_dense
+    prob, poses_gt, pts_gt = _make_problem()
+    # deactivate half the observations (must also vanish from the mirror)
+    w = np.asarray(prob.obs_w).copy()
+    w[::2] = 0.0
+    prob = prob._replace(obs_w=jnp.asarray(w))
+    mir = np.asarray(_mirror_for(6, 120))
+    mir = np.where(w[np.clip(mir, 0, None)] > 0, mir, -1)
+    res = jax.jit(lambda p: ba_solve_dense(
+        p, jnp.asarray(mir), n_per_cam=120, n_outer=10, chunk=120))(prob)
+    assert _pose_err(res.cam_pose, poses_gt) < 0.02
+    np.testing.assert_allclose(np.asarray(res.cam_pose[0]),
+                               np.asarray(prob.cam_pose[0]), atol=1e-7)
+
+
+def test_ba_dense_matches_cg_solver():
+    """Exact-solve LM and CG LM must land on the same optimum."""
+    from orb_slam2_tpu.ba.schur import ba_solve_dense
+    prob, poses_gt, pts_gt = _make_problem(noise_px=0.2)
+    mir = _mirror_for(6, 120)
+    r1 = jax.jit(lambda p: ba_solve(p, n_outer=15, n_cg=40))(prob)
+    r2 = jax.jit(lambda p: ba_solve_dense(
+        p, mir, n_per_cam=120, n_outer=10, chunk=120))(prob)
+    assert _pose_err(r1.cam_pose, r2.cam_pose) < 5e-3

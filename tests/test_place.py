@@ -98,3 +98,47 @@ def test_loop_candidates_exclude_connected():
     # kfs 0 and 1 are connected to the query -> excluded
     assert 0 not in np.asarray(res2.ids)[:2]
     assert 1 not in np.asarray(res2.ids)[:2]
+
+
+def test_orbvoc_text_roundtrip(tmp_path):
+    """save_orbvoc_text -> load_orbvoc_text preserves tree + transform."""
+    import numpy as np
+    from orb_slam2_tpu.place.vocab import (build_transform, load_orbvoc_text,
+                                           save_orbvoc_text,
+                                           train_vocabulary)
+    rng = np.random.RandomState(3)
+    desc = rng.randint(0, 256, (400, 32)).astype(np.uint8)
+    v = train_vocabulary(desc, k=3, depth=3, seed=0, levels_up=1)
+    p = str(tmp_path / "voc.txt")
+    save_orbvoc_text(v, p)
+    v2 = load_orbvoc_text(p, levels_up=1)
+    assert v2.k == v.k and v2.depth == v.depth
+    assert v2.n_words == v.n_words
+    import jax.numpy as jnp
+    t1 = build_transform(v)
+    t2 = build_transform(v2)
+    d = jnp.asarray(desc[:50])
+    ok = jnp.ones((50,), bool)
+    b1, w1, _ = t1(d, ok)
+    b2, w2, _ = t2(d, ok)
+    np.testing.assert_array_equal(np.asarray(w1), np.asarray(w2))
+    np.testing.assert_allclose(np.asarray(b1), np.asarray(b2), atol=1e-5)
+
+
+def test_orbvoc_truncate(tmp_path):
+    import numpy as np
+    from orb_slam2_tpu.place.vocab import (build_transform, load_orbvoc_text,
+                                           save_orbvoc_text,
+                                           train_vocabulary)
+    rng = np.random.RandomState(4)
+    desc = rng.randint(0, 256, (600, 32)).astype(np.uint8)
+    v = train_vocabulary(desc, k=3, depth=4, seed=0, levels_up=1)
+    p = str(tmp_path / "voc.txt")
+    save_orbvoc_text(v, p)
+    vt = load_orbvoc_text(p, levels_up=1, truncate_depth=2)
+    assert vt.depth == 2
+    assert vt.n_words <= 3 ** 2
+    import jax.numpy as jnp
+    t = build_transform(vt)
+    b, w, _ = t(jnp.asarray(desc[:20]), jnp.ones((20,), bool))
+    assert float(jnp.sum(b)) > 0
