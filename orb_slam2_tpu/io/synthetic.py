@@ -85,13 +85,18 @@ def forward_trajectory(n_frames: int, speed=0.08, yaw_rate=0.002) -> np.ndarray:
 
 
 def loop_trajectory(n_frames: int, radius=1.2) -> np.ndarray:
-    """Closed circular path with yaw so the camera revisits its start —
-    exercises loop closing."""
+    """Closed circular path with a FULL 360-degree yaw (camera follows the
+    tangent, like driving a circular corridor): each pose sees only a sector
+    of the room, so start and end share appearance but the middle does not —
+    the disconnected-revisit structure loop closing exists for.  A loop with
+    mild yaw keeps every keyframe covisible with every other in a room scene
+    and the reference (correctly) never proposes candidates
+    (KeyFrameDatabase.cc:96 excludes connected keyframes)."""
     poses = np.zeros((n_frames, 7))
     for i in range(n_frames):
         s = 2 * np.pi * i / n_frames
         t = np.array([radius * np.sin(s), 0.0, radius * (1 - np.cos(s))])
-        q = _quat_from_axis_angle([0, 1, 0], s * 0.15)  # mild yaw
+        q = _quat_from_axis_angle([0, 1, 0], s)  # full revolution
         poses[i, :4] = q / np.linalg.norm(q)
         poses[i, 4:] = t
     return poses
@@ -113,10 +118,21 @@ def _plane_texture(rng, th: int, tw: int) -> np.ndarray:
     return (tex - t0) / max(t1 - t0, 1e-6) * 195.0 + 30.0
 
 
+def right_poses(twc: np.ndarray, baseline: float) -> np.ndarray:
+    """Right-eye Twc for a rectified stereo rig: same rotation, position
+    shifted by +baseline along the camera x-axis."""
+    out = twc.copy()
+    for i in range(len(twc)):
+        out[i, 4:] = twc[i, 4:] + _quat_rot(twc[i, :4],
+                                            np.array([baseline, 0.0, 0.0]))
+    return out
+
+
 def generate(cam: CameraConfig, n_frames: int = 120, n_points: int = 600,
              trajectory: str = "xyz", seed: int = 0,
              depth_range=(2.0, 8.0), sprite=25,
-             noise_sigma: float = 1.0) -> SyntheticSequence:
+             noise_sigma: float = 1.0,
+             poses_override: np.ndarray = None) -> SyntheticSequence:
     """Render a textured room (5 planes, ray-cast with a z-buffer).
 
     Local patches move coherently (each lies on one plane) so feature
@@ -129,7 +145,10 @@ def generate(cam: CameraConfig, n_frames: int = 120, n_points: int = 600,
     H, W = cam.height, cam.width
     fx, fy, cx, cy = cam.fx, cam.fy, cam.cx, cam.cy
 
-    if trajectory == "xyz":
+    if poses_override is not None:
+        twc = np.asarray(poses_override)
+        assert twc.shape == (n_frames, 7)
+    elif trajectory == "xyz":
         twc = xyz_trajectory(n_frames)
     elif trajectory == "loop":
         twc = loop_trajectory(n_frames)

@@ -90,6 +90,7 @@ def create_mono_map(state: MapState, ts: TrackState, frame: Frame,
         has_velocity=jnp.asarray(False),
         last_pids=cur_pids, last_uv=frame.uv, last_octave=frame.octave,
         last_angle=frame.angle, last_valid=frame.valid,
+        last_desc=frame.desc, last_depth=frame.depth,
         ref_kf=k1, last_kf_frame_id=frame.frame_id,
         init_valid_frame=jnp.asarray(False))
     # log the first init frame's pose (identity at KF0) into the trajectory
@@ -130,6 +131,7 @@ def stereo_initialize(state: MapState, ts: TrackState, frame: Frame,
         has_velocity=jnp.asarray(False),
         last_pids=pids, last_uv=frame.uv, last_octave=frame.octave,
         last_angle=frame.angle, last_valid=frame.valid,
+        last_desc=frame.desc, last_depth=frame.depth,
         ref_kf=k0, last_kf_frame_id=frame.frame_id)
     ok = frame.n >= cfg.tracking.stereo_init_min_kps
     return state, ts, ok

@@ -136,9 +136,55 @@ def verify(state: MapState, kf_id, cand_id, key, cfg: SLAMConfig):
         fix_scale=fix_scale, iters=128,
         min_inliers=cfg.loop.min_sim3_inliers)
 
-    # 3. LM refinement
+    # 2b. SearchBySim3 two-way guided top-up (reference ORBmatcher.cc:
+    # 1102-1326, call site LoopClosing.cc:323): project candidate points
+    # into the current KF through S12 and current points into the candidate
+    # through S12^-1; pairs that agree in both directions join the set.
+    from orb_slam2_tpu.pipeline.tracking import predict_scale
+    bounds = jnp.asarray([0.0, cfg.camera.width, 0.0, cfg.camera.height])
+    p2_all = lie.se3_apply(T2, state.mp_pos[jnp.clip(pids2, 0, None)])
+    pc1 = lie.sim3_apply(rr.S12, p2_all)                 # cand pts -> cam1
+    uvp1 = camera.project(K, pc1)
+    oct_p1 = predict_scale(jnp.linalg.norm(pc1, axis=-1),
+                           state.mp_max_dist[jnp.clip(pids2, 0, None)],
+                           sf, cfg.orb.n_levels)
+    vis1 = ok2 & (pc1[:, 2] > 0) & camera.in_image(uvp1, bounds)
+    m1 = search.search_by_projection(
+        uvp1, oct_p1, state.mp_desc[jnp.clip(pids2, 0, None)], vis1,
+        state.kf_uv[kf_id], state.kf_octave[kf_id], state.kf_desc[kf_id],
+        state.kf_angle[kf_id], state.kf_kp_valid[kf_id],
+        cfg.loop.sim3_search_radius * sf ** oct_p1.astype(jnp.float32),
+        max_dist=cfg.match.th_high, ratio=None, oct_lo=-1, oct_hi=0)
+    pc2r = lie.sim3_apply(lie.sim3_inverse(rr.S12), p1)  # cur pts -> cam2
+    uvp2 = camera.project(K, pc2r)
+    oct_p2 = predict_scale(jnp.linalg.norm(pc2r, axis=-1),
+                           state.mp_max_dist[jnp.clip(pids1, 0, None)],
+                           sf, cfg.orb.n_levels)
+    vis2 = ok1 & (pc2r[:, 2] > 0) & camera.in_image(uvp2, bounds)
+    m2 = search.search_by_projection(
+        uvp2, oct_p2, state.mp_desc[jnp.clip(pids1, 0, None)], vis2,
+        state.kf_uv[cand_id], state.kf_octave[cand_id],
+        state.kf_desc[cand_id], state.kf_angle[cand_id],
+        state.kf_kp_valid[cand_id],
+        cfg.loop.sim3_search_radius * sf ** oct_p2.astype(jnp.float32),
+        max_dist=cfg.match.th_high, ratio=None, oct_lo=-1, oct_hi=0)
+    # two-way agreement (vnMatch1[i1]==i2 && vnMatch2[i2]==i1, :1300-1320)
+    rev = jnp.concatenate([jnp.full((N,), -1, jnp.int32),
+                           jnp.full((1,), -1, jnp.int32)]).at[
+        jnp.where(m1.idx >= 0, m1.idx, N)].set(
+        jnp.where(m1.idx >= 0, jnp.arange(N), -1))[:N]
+    agree = (rev >= 0) & (m2.idx == rev)
+    idx = jnp.where(matched, idx, jnp.where(agree, m2.idx, -1))
+    matched = idx >= 0
+    idx_s = jnp.clip(idx, 0, None)
+    p2 = lie.se3_apply(T2, state.mp_pos[jnp.clip(pids2[idx_s], 0, None)])
+    uv2 = state.kf_uv[cand_id][idx_s]
+    sig2 = (sf ** state.kf_octave[cand_id][idx_s].astype(jnp.float32)) ** 2
+
+    # 3. LM refinement over the enlarged set (outliers re-gated at th2=10
+    # inside, like OptimizeSim3's chi2 edge removal, Optimizer.cc:1180-1230)
     S12, n_inl, _ = sim3_mod.optimize_sim3(
-        rr.S12, p1, p2, uv1, uv2, matched & rr.inliers, K,
+        rr.S12, p1, p2, uv1, uv2, matched & (rr.inliers | agree), K,
         1.0 / sig1, 1.0 / sig2, fix_scale=fix_scale,
         th2=10.0, iters=10)
 
@@ -247,7 +293,65 @@ def correct(state: MapState, kf_id, cand_id, Scm, loop_pids,
     state = ops.add_obs(state, kf_id, jnp.arange(loop_pids.shape[0]),
                         jnp.where(add, loop_pids, -1))
 
+    # SearchAndFuse: project the loop neighborhood's points into EVERY
+    # corrected-group KF, replacing conflicting observations with the loop
+    # point and claiming free keypoints (reference LoopClosing.cc:587-613
+    # fuses the whole CorrectedSim3 group, radius 4)
+    from orb_slam2_tpu.pipeline.tracking import predict_scale
+    K_cam = camera.intrinsics(cfg.camera)
+    sf = cfg.orb.scale_factor
+    bounds = jnp.asarray([0.0, cfg.camera.width, 0.0, cfg.camera.height])
+    N = state.kf_obs.shape[1]
+    nb2 = jnp.concatenate([jnp.asarray(cand_id, jnp.int32)[None],
+                           covisible_neighbors(state, cand_id, 10,
+                                               min_weight=15)])
+    loop_mask = jnp.zeros((M + 1,), bool)
+    for i in range(nb2.shape[0]):
+        obs_i = state.kf_obs[jnp.clip(nb2[i], 0, None)]
+        pid_i = jnp.where((nb2[i] >= 0) & (obs_i >= 0), obs_i, M)
+        loop_mask = loop_mask.at[pid_i].set(True)
+    loop_mask = loop_mask[:M] & state.mp_valid
+    P = 2048
+    _, sel = jax.lax.top_k(loop_mask.astype(jnp.int32), P)
+    sel_ok = loop_mask[sel]
+    gids = jnp.concatenate([jnp.asarray([kf_id], jnp.int32),
+                            covisible_neighbors(state, kf_id, 7,
+                                                min_weight=15)])
+    for t in range(gids.shape[0]):
+        g = jnp.clip(gids[t], 0, None)
+        g_ok = gids[t] >= 0
+        pc_g = lie.se3_apply(state.kf_pose[g], state.mp_pos[sel])
+        uvp_g = camera.project(K_cam, pc_g)
+        oct_g = predict_scale(jnp.linalg.norm(pc_g, axis=-1),
+                              state.mp_max_dist[sel], sf, cfg.orb.n_levels)
+        viz = sel_ok & g_ok & (pc_g[:, 2] > 0) & camera.in_image(uvp_g, bounds)
+        mres = search.search_by_projection(
+            uvp_g, oct_g, state.mp_desc[sel], viz,
+            state.kf_uv[g], state.kf_octave[g], state.kf_desc[g],
+            state.kf_angle[g], state.kf_kp_valid[g],
+            cfg.loop.search_and_fuse_radius * sf ** oct_g.astype(jnp.float32),
+            max_dist=cfg.match.th_low, ratio=None, oct_lo=-1, oct_hi=0)
+        tgt_g = jnp.where(mres.idx >= 0, mres.idx, N)
+        lp = jnp.concatenate([jnp.full((N,), -1, jnp.int32),
+                              jnp.full((1,), -1, jnp.int32)]).at[tgt_g].set(
+            jnp.where(mres.idx >= 0, sel, -1))[:N]
+        curo = state.kf_obs[g]
+        both = (lp >= 0) & (curo >= 0) & (curo != lp)
+        cs = jnp.where(both, curo, M - 1)
+        srcg = jnp.full((M,), -1, jnp.int32).at[cs].set(
+            jnp.where(both, curo, -1))
+        dstg = jnp.full((M,), -1, jnp.int32).at[cs].set(
+            jnp.where(both, lp, -1))
+        srcg = jnp.where(srcg == jnp.arange(M), srcg, -1)
+        state = ops.replace_points(state, srcg, dstg)
+        addg = (lp >= 0) & (state.kf_obs[g] < 0)
+        state = ops.add_obs(state, g, jnp.arange(N),
+                            jnp.where(addg, lp, -1))
+
     from orb_slam2_tpu.map.state import update_covisibility_for_kf
+    for t in range(gids.shape[0]):
+        state = update_covisibility_for_kf(
+            state, jnp.clip(gids[t], 0, None))
     state = update_covisibility_for_kf(state, kf_id)
     state = state._replace(
         loop_edge=state.loop_edge.at[kf_id, cand_id].set(True)

@@ -147,7 +147,8 @@ class SLAM:
 
         def full_step(state, ts, imgs, frame_id, timestamp, loc_only):
             frame = raw_frame_fn(*imgs, frame_id, timestamp)
-            state, ts, cur_pids, hud = raw_track_step(state, ts, frame)
+            state, ts, cur_pids, hud = raw_track_step(state, ts, frame,
+                                                      loc_only)
             need = (hud[HUD_NEED_KF] > 0) & jnp.logical_not(loc_only)
 
             def do_kf(op):
@@ -250,6 +251,7 @@ class SLAM:
             has_velocity=jnp.asarray(False),
             last_pids=pids, last_uv=frame.uv, last_octave=frame.octave,
             last_angle=frame.angle, last_valid=frame.valid,
+            last_desc=frame.desc, last_depth=frame.depth,
             ref_kf=cand.astype(jnp.int32),
             last_reloc_frame_id=frame.frame_id)
         self.ts = self._record(self.state, self.ts, frame, jnp.asarray(True))

@@ -42,6 +42,8 @@ class TrackState(NamedTuple):
     last_octave: jnp.ndarray  # [N]
     last_angle: jnp.ndarray   # [N]
     last_valid: jnp.ndarray   # [N]
+    last_desc: jnp.ndarray    # [N, 32] u8 — for localization-mode VO points
+    last_depth: jnp.ndarray   # [N] last-frame keypoint depth (-1 = none)
     ref_kf: jnp.ndarray       # i32
     last_kf_frame_id: jnp.ndarray  # i32 frame id at last KF insertion
     last_reloc_frame_id: jnp.ndarray  # i32
@@ -76,6 +78,8 @@ def empty_track_state(cfg: SLAMConfig) -> TrackState:
         last_octave=jnp.zeros((N,), jnp.int32),
         last_angle=jnp.zeros((N,), jnp.float32),
         last_valid=jnp.zeros((N,), bool),
+        last_desc=jnp.zeros((N, 32), jnp.uint8),
+        last_depth=jnp.full((N,), -1.0, jnp.float32),
         ref_kf=jnp.asarray(-1, jnp.int32),
         last_kf_frame_id=jnp.asarray(-1, jnp.int32),
         last_reloc_frame_id=jnp.asarray(-1000000, jnp.int32),
@@ -124,16 +128,21 @@ def predict_scale(dist: jnp.ndarray, max_dist: jnp.ndarray,
     return jnp.clip(lvl, 0, n_levels - 1)
 
 
-def _pose_opt_from_pids(state: MapState, frame: Frame, pids, T0, K, bf, cfg):
-    """Run motion-only BA on the current frame given per-keypoint point ids."""
-    safe = jnp.clip(pids, 0, None)
-    pw = state.mp_pos[safe]
-    valid = (pids >= 0) & frame.valid
+def _pose_opt_from_pos(frame: Frame, pw, valid, T0, K, bf, cfg):
+    """Run motion-only BA on the current frame given per-keypoint world
+    positions (covers both map points and localization-mode VO points)."""
     inv_sigma2 = 1.0 / (cfg.orb.scale_factor ** 2) ** frame.octave.astype(jnp.float32)
     is_stereo = frame.ur >= 0
     res = pose_opt.pose_optimize(T0, pw, frame.uv, frame.ur, inv_sigma2,
-                                 valid, is_stereo, K, bf, cfg.ba)
+                                 valid & frame.valid, is_stereo, K, bf, cfg.ba)
     return res
+
+
+def _pose_opt_from_pids(state: MapState, frame: Frame, pids, T0, K, bf, cfg):
+    """Run motion-only BA on the current frame given per-keypoint point ids."""
+    safe = jnp.clip(pids, 0, None)
+    return _pose_opt_from_pos(frame, state.mp_pos[safe], pids >= 0, T0, K,
+                              bf, cfg)
 
 
 # ---------------------------------------------------------------------------
@@ -141,10 +150,16 @@ def _pose_opt_from_pids(state: MapState, frame: Frame, pids, T0, K, bf, cfg):
 # ---------------------------------------------------------------------------
 
 def track_with_motion_model(state: MapState, ts: TrackState, frame: Frame,
-                            cfg: SLAMConfig):
+                            cfg: SLAMConfig, loc_only=None):
     """Reference Tracking::TrackWithMotionModel (Tracking.cc:867-928):
     constant-velocity prediction, project last frame's points, windowed
     search (radius th * scale of last octave), pose optimization.
+
+    In localization-only mode with a depth sensor, last-frame keypoints that
+    have depth but no map point become temporal "VO points"
+    (Tracking::UpdateLastFrame, Tracking.cc:801-865): they join the
+    candidate set (position = last-pose unprojection) and the pose
+    optimization, but never enter the map.
 
     Returns (cur_pids [N], pose-opt result, ok flag)."""
     K = camera.intrinsics(cfg.camera)
@@ -155,6 +170,19 @@ def track_with_motion_model(state: MapState, ts: TrackState, frame: Frame,
     safe = jnp.clip(pids, 0, None)
     pt_valid = (pids >= 0) & ts.last_valid & state.mp_valid[safe]
     pw = state.mp_pos[safe]
+    desc = state.mp_desc[safe]
+    if loc_only is not None and cfg.sensor != 0:
+        # temporal VO points: closest-depth unmatched keypoints of the last
+        # frame (reference caps at ~100 closest; the dense matcher takes all
+        # candidates below the close-depth threshold, same recall)
+        thd = cfg.camera.th_depth * cfg.camera.baseline
+        vo_ok = (loc_only & ts.last_valid & (pids < 0) &
+                 (ts.last_depth > 0) & (ts.last_depth < thd))
+        pc_last = camera.unproject(K, ts.last_uv, ts.last_depth)
+        pw_vo = lie.se3_apply(lie.se3_inverse(ts.last_T), pc_last)
+        pw = jnp.where(vo_ok[:, None], pw_vo, pw)
+        desc = jnp.where(vo_ok[:, None], ts.last_desc, desc)
+        pt_valid = pt_valid | vo_ok
     pc = lie.se3_apply(T_pred, pw)
     uv_pred = camera.project(K, pc)
     bounds = jnp.asarray([0.0, cfg.camera.width, 0.0, cfg.camera.height])
@@ -165,21 +193,22 @@ def track_with_motion_model(state: MapState, ts: TrackState, frame: Frame,
     radius = th * cfg.orb.scale_factor ** ts.last_octave.astype(jnp.float32)
 
     res = search.search_by_projection(
-        uv_pred, ts.last_octave, state.mp_desc[safe], pt_valid,
+        uv_pred, ts.last_octave, desc, pt_valid,
         frame.uv, frame.octave, frame.desc, frame.angle, frame.valid,
         radius, max_dist=cfg.match.th_high, ratio=None, oct_lo=-1, oct_hi=1)
     idx = search.rotation_consistency(ts.last_angle, frame.angle, res.idx,
                                       cfg.match.histo_length)
 
-    # scatter: per-current-kp point id
+    # scatter per-current-kp: map-point id, matched 3D position, match flag
     N = frame.uv.shape[0]
-    cur_pids = jnp.full((N,), -1, jnp.int32)
     tgt = jnp.where(idx >= 0, idx, N)
-    cur_pids = jnp.concatenate([cur_pids, jnp.full((1,), -1, jnp.int32)]).at[
-        tgt].set(jnp.where(idx >= 0, pids, -1))[:N]
+    pad_i = jnp.full((N + 1,), -1, jnp.int32)
+    cur_pids = pad_i.at[tgt].set(jnp.where(idx >= 0, pids, -1))[:N]
+    cur_pos = jnp.zeros((N + 1, 3), pw.dtype).at[tgt].set(pw)[:N]
+    cur_has = jnp.zeros((N + 1,), bool).at[tgt].set(idx >= 0)[:N]
 
-    n_matches = jnp.sum((cur_pids >= 0).astype(jnp.int32))
-    opt = _pose_opt_from_pids(state, frame, cur_pids, T_pred, K, bf, cfg)
+    n_matches = jnp.sum(cur_has.astype(jnp.int32))
+    opt = _pose_opt_from_pos(frame, cur_pos, cur_has, T_pred, K, bf, cfg)
     cur_pids = jnp.where(opt.inliers, cur_pids, -1)
     ok = (n_matches >= cfg.tracking.min_matches_motion) & \
          (opt.n_inliers >= cfg.tracking.min_inliers_track)
@@ -222,13 +251,37 @@ def track_local_map(state: MapState, ts: TrackState, frame: Frame,
                     T: jnp.ndarray, cur_pids: jnp.ndarray, cfg: SLAMConfig,
                     after_reloc: jnp.ndarray):
     """Reference Tracking::TrackLocalMap + SearchLocalPoints
-    (Tracking.cc:930-974, 1143-1193).  TPU-native twist: instead of walking
-    the covisibility graph to collect a local point set, project *all* valid
-    map points (one batched frustum test over M) — the MXU makes the dense
-    match affordable, and recall can only improve."""
+    (Tracking.cc:930-974, 1143-1193).
+
+    The local point set follows the reference's UpdateLocalKeyFrames
+    (Tracking.cc:1231-1339): keyframes voted by the currently matched points
+    (K1) plus their covisible neighbors (K2), then every point those
+    keyframes observe.  This locality matters beyond cost: matching against
+    the *whole* map would silently re-acquire old points on loop revisits,
+    hiding drift from the loop-closing pipeline (and at KITTI scale the
+    dense [M]-wide match is HBM-hostile)."""
     K = camera.intrinsics(cfg.camera)
     bf = cfg.camera.bf
     M = state.mp_pos.shape[0]
+    K_ = state.kf_obs.shape[0]
+
+    # K1: observers of currently matched points, by vote (Tracking.cc:1247)
+    safe_c = jnp.clip(cur_pids, 0, None)
+    obs_kf_cur = state.mp_obs_kf[safe_c]                  # [N, D]
+    vote_ok = (cur_pids >= 0)[:, None] & (obs_kf_cur >= 0)
+    votes = jnp.zeros((K_ + 1,), jnp.int32).at[
+        jnp.where(vote_ok, obs_kf_cur, K_)].add(1)[:K_]
+    topv, topk = jax.lax.top_k(votes, min(cfg.cap.local_window, K_))
+    k1_ok = topv > 0
+    k1_mask = jnp.zeros((K_,), bool).at[
+        jnp.where(k1_ok, topk, 0)].set(k1_ok) & state.kf_valid
+    # K2: covisible neighbors of K1 (Tracking.cc:1294-1331)
+    nb_mask = jnp.any(k1_mask[:, None] & (state.covis > 0), axis=0)
+    local_kf = (k1_mask | nb_mask) & state.kf_valid
+    # local points: everything the local keyframes observe (Tracking.cc:1205)
+    lobs = state.kf_obs
+    pt_local = jnp.zeros((M + 1,), bool).at[
+        jnp.where(local_kf[:, None] & (lobs >= 0), lobs, M)].set(True)[:M]
 
     pc = lie.se3_apply(T, state.mp_pos)
     uv_pred = camera.project(K, pc)
@@ -242,7 +295,7 @@ def track_local_map(state: MapState, ts: TrackState, frame: Frame,
                                         lie.se3_t(T))) * state.mp_normal, -1
     ) / jnp.maximum(dist, 1e-9)
     in_band = (dist >= 0.8 * state.mp_min_dist) & (dist <= 1.2 * state.mp_max_dist)
-    visible = (state.mp_valid & (pc[:, 2] > 0) &
+    visible = (state.mp_valid & pt_local & (pc[:, 2] > 0) &
                camera.in_image(uv_pred, bounds) & in_band & (view_cos > 0.5))
 
     # already-matched points are skipped for search but counted visible
@@ -321,10 +374,13 @@ def build_track_step(cfg: SLAMConfig):
     in one XLA program, with zero intermediate host synchronization."""
     from orb_slam2_tpu.map.state import point_obs_count
 
-    def step(state: MapState, ts: TrackState, frame: Frame):
+    def step(state: MapState, ts: TrackState, frame: Frame, loc_only=None):
+        if loc_only is None:
+            loc_only = jnp.asarray(False)
         # --- phase 1: motion-model or reference-KF tracking ---
         def do_motion(_):
-            pids, opt, ok = track_with_motion_model(state, ts, frame, cfg)
+            pids, opt, ok = track_with_motion_model(state, ts, frame, cfg,
+                                                    loc_only)
             return pids, opt.T, opt.n_inliers, ok
 
         def do_ref(_):
@@ -362,7 +418,9 @@ def build_track_step(cfg: SLAMConfig):
             last_uv=jnp.where(ok, frame.uv, ts.last_uv),
             last_octave=jnp.where(ok, frame.octave, ts.last_octave),
             last_angle=jnp.where(ok, frame.angle, ts.last_angle),
-            last_valid=jnp.where(ok, frame.valid, ts.last_valid))
+            last_valid=jnp.where(ok, frame.valid, ts.last_valid),
+            last_desc=jnp.where(ok, frame.desc, ts.last_desc),
+            last_depth=jnp.where(ok, frame.depth, ts.last_depth))
 
         # --- phase 4: keyframe decision (reference Tracking.cc:977-1061) ---
         n_kf = state.n_kf

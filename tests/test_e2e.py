@@ -1,0 +1,199 @@
+"""End-to-end pipeline tests on synthetic sequences (VERDICT r2 item 4).
+
+The reference has no test suite (SURVEY.md §4) — its de-facto harness is
+"run a dataset sequence, compare the trajectory offline".  These tests do
+exactly that, with exact ground truth from the synthetic renderer:
+
+  * mono ATE gate            (reference mono_tum.cc main loop behavior)
+  * stereo e2e               (stereo_kitti.cc)
+  * RGB-D e2e                (rgbd_tum.cc)
+  * loop closure fires + helps (LoopClosing.cc:402-585)
+  * relocalization recovers  (Tracking.cc:1341-1502)
+  * determinism              (two runs -> identical trajectory; the
+                              reference cannot pass this, SURVEY.md §4d)
+  * map save -> load -> localization-only (System.h:115-117 TODO, README
+                              localization mode README.md:232-239)
+
+All run on the 8-device CPU mesh from conftest.py with a small config so the
+whole file stays in CI budget.
+"""
+
+import numpy as np
+import pytest
+
+from orb_slam2_tpu import config as config_mod
+from orb_slam2_tpu.config import MONOCULAR, RGBD, STEREO
+from orb_slam2_tpu.io import evaluate, synthetic
+
+
+def small_cfg(sensor=MONOCULAR, **cam_kw):
+    cam = config_mod.CameraConfig(
+        fx=200.0, fy=200.0, cx=160.0, cy=120.0, width=320, height=240,
+        fps=30.0, bf=(16.0 if sensor != MONOCULAR else 0.0), th_depth=35.0,
+        **cam_kw)
+    orb = config_mod.ORBConfig(n_features=500, max_keypoints=512)
+    cap = config_mod.Capacity(
+        max_keyframes=96, max_points=6144, max_obs_per_kf=512,
+        max_frames=512, local_ba_points=2048)
+    return config_mod.SLAMConfig(sensor=sensor, camera=cam, orb=orb, cap=cap)
+
+
+def run_seq(slam, seq, right=None, start=0, stop=None):
+    stop = stop if stop is not None else len(seq.images)
+    for f in range(start, stop):
+        if right is not None:
+            slam.track_stereo(seq.images[f], right[f], seq.timestamps[f])
+        elif slam.cfg.sensor == RGBD:
+            slam.track_rgbd(seq.images[f], seq.depths[f], seq.timestamps[f])
+        else:
+            slam.track_mono(seq.images[f], seq.timestamps[f])
+    slam.flush()
+
+
+def ate_of(slam, seq, align_scale):
+    est = slam.poses_twc()
+    ie, ig = evaluate.match_timestamps(slam.timestamps(), seq.timestamps)
+    assert len(ie) >= 10, f"only {len(ie)} frames tracked"
+    return (evaluate.ate_rmse(est[ie], seq.poses_twc[ig],
+                              align_scale=align_scale), len(ie))
+
+
+@pytest.fixture(scope="module")
+def mono_seq():
+    cfg = small_cfg(MONOCULAR)
+    return cfg, synthetic.generate(cfg.camera, n_frames=60, n_points=300,
+                                   trajectory="xyz", seed=0)
+
+
+def _fresh(cfg, **kw):
+    from orb_slam2_tpu.pipeline.system import SLAM
+    return SLAM(cfg, **kw)
+
+
+# ---------------------------------------------------------------------------
+def test_mono_ate_gate(mono_seq):
+    """Mono SLAM on a 60-frame xyz sequence: >=80% frames tracked, scale-
+    aligned ATE <= 2 cm (paper-scale accuracy on the synthetic room)."""
+    cfg, seq = mono_seq
+    slam = _fresh(cfg)
+    run_seq(slam, seq)
+    ate, n = ate_of(slam, seq, align_scale=True)
+    assert n >= 0.8 * len(seq.images), f"tracked {n}/{len(seq.images)}"
+    assert ate <= 0.02, f"ATE {ate:.4f} m"
+
+
+def test_mono_determinism(mono_seq):
+    """Two identical runs produce bit-identical trajectories (SURVEY §4d:
+    structurally impossible for the threaded reference, free for us)."""
+    cfg, seq = mono_seq
+    a = _fresh(cfg)
+    run_seq(a, seq, stop=40)
+    b = _fresh(cfg)
+    run_seq(b, seq, stop=40)
+    pa, pb = a.poses_twc(), b.poses_twc()
+    assert pa.shape == pb.shape
+    assert np.array_equal(pa, pb)
+
+
+def test_rgbd_e2e(mono_seq):
+    """RGB-D on the same sequence: metric scale (no alignment scale), so the
+    ATE gate also validates absolute depth integration."""
+    cfg, seq = mono_seq
+    cfg = small_cfg(RGBD)
+    slam = _fresh(cfg)
+    run_seq(slam, seq)
+    ate, n = ate_of(slam, seq, align_scale=False)
+    assert n >= 0.9 * len(seq.images), f"tracked {n}/{len(seq.images)}"
+    assert ate <= 0.02, f"metric ATE {ate:.4f} m"
+
+
+def test_stereo_e2e(mono_seq):
+    """Stereo: right images exactly ray-cast from the baseline-shifted eye;
+    metric ATE gate exercises row-band matching + SAD subpixel end-to-end."""
+    _, seq = mono_seq
+    cfg = small_cfg(STEREO)
+    right = synthetic.generate(
+        cfg.camera, n_frames=len(seq.images), n_points=4,
+        trajectory="xyz", seed=0,
+        poses_override=synthetic.right_poses(seq.poses_twc,
+                                             cfg.camera.baseline)).images
+    slam = _fresh(cfg)
+    run_seq(slam, seq, right=right)
+    ate, n = ate_of(slam, seq, align_scale=False)
+    assert n >= 0.9 * len(seq.images), f"tracked {n}/{len(seq.images)}"
+    # stereo depth noise floor at this rig: sigma_z ~ z^2 sigma_d / (fx b)
+    # ~ 6 cm at z = 2 m with fx = 200, b = 0.08 — gate accordingly
+    assert ate <= 0.06, f"metric ATE {ate:.4f} m"
+
+
+def test_relocalization_recovers(mono_seq):
+    """Blind the camera for a few frames mid-sequence (tracking -> LOST),
+    then restore input: relocalization must re-acquire and keep tracking
+    (reference Tracking.cc:1341-1502)."""
+    import dataclasses
+    cfg, seq = mono_seq
+    # denser keyframing (mMaxFrames ~ 8) so the 45-frame prefix builds a map
+    # deep enough that LOST doesn't trigger the <=5-KF auto-reset
+    cfg = cfg.replace(tracking=dataclasses.replace(
+        cfg.tracking, max_frames_hint=6))
+    slam = _fresh(cfg)
+    run_seq(slam, seq, stop=45)
+    from orb_slam2_tpu.pipeline.tracking import OK
+    assert slam.status == OK
+    kfs_before = int(slam.state.n_kf)
+    assert kfs_before > 5  # enough map that LOST doesn't trigger reset
+    blank = np.zeros_like(seq.images[0])
+    for k in range(4):
+        slam.track_mono(blank, seq.timestamps[45] + 0.001 * (k + 1))
+    slam.flush()
+    assert slam.status != OK
+    # restore input: revisit mapped territory
+    run_seq(slam, seq, start=38, stop=55)
+    assert slam.status == OK, "did not relocalize"
+    assert int(slam.state.n_kf) >= kfs_before
+
+
+def test_map_save_load_localization(tmp_path, mono_seq):
+    """Build a map, checkpoint it, localize on it from a fresh session with
+    mapping disabled (System.h:115-117 TODO in the reference — exceeded)."""
+    cfg, seq = mono_seq
+    slam = _fresh(cfg)
+    run_seq(slam, seq, stop=45)
+    n_kf = int(slam.state.n_kf)
+    path = str(tmp_path / "map.npz")
+    slam.save_map(path)
+
+    loc = _fresh(cfg)
+    loc.load_map(path)
+    loc.activate_localization_mode()
+    run_seq(loc, seq, start=10, stop=30)
+    from orb_slam2_tpu.pipeline.tracking import OK
+    assert loc.status == OK, "failed to localize on the prebuilt map"
+    assert int(loc.state.n_kf) == n_kf, "localization mode must not map"
+    # localized poses agree with ground truth up to the map's scale
+    est = loc.poses_twc()
+    ie, ig = evaluate.match_timestamps(loc.timestamps(), seq.timestamps)
+    assert len(ie) >= 10
+    ate = evaluate.ate_rmse(est[ie], seq.poses_twc[ig], align_scale=True)
+    assert ate <= 0.05, f"localization ATE {ate:.4f} m"
+
+
+def test_loop_closure_fires_and_helps():
+    """Closed circular trajectory: the loop must be detected and corrected
+    (LoopClosing.cc:402-585) and the corrected ATE must beat the
+    loop-disabled run on the same input."""
+    cfg = small_cfg(MONOCULAR)
+    seq = synthetic.generate(cfg.camera, n_frames=110, n_points=300,
+                             trajectory="loop", seed=1)
+
+    open_loop = _fresh(cfg, enable_loop_closing=False)
+    run_seq(open_loop, seq)
+    ate_open, _ = ate_of(open_loop, seq, align_scale=True)
+
+    closed = _fresh(cfg)
+    run_seq(closed, seq)
+    ate_closed, n = ate_of(closed, seq, align_scale=True)
+
+    assert closed.last_loop_kf > 0, "loop closure never fired"
+    assert ate_closed <= ate_open * 1.05, \
+        f"loop correction hurt: {ate_closed:.4f} vs open {ate_open:.4f}"
