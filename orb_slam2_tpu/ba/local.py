@@ -162,10 +162,68 @@ def local_ba(state: MapState, kf_id, cfg: SLAMConfig,
     return state
 
 
+def build_global_problem_point_major(state: MapState, cfg: SLAMConfig
+                                     ) -> BAProblem:
+    """Global BA problem in point-major layout: one observation row per
+    (point, observer-slot) pair of the mirror table `mp_obs_kf/kp`, R = M*D.
+
+    At KITTI capacity (M=131k, D=16 -> R=2.1M rows) this is ~10x fewer rows
+    than the camera-major K*N grid (2048*2048=4.2M, mostly empty) and — more
+    importantly — it is the layout the landmark-sharded distributed solver
+    partitions: contiguous row blocks follow their owning points, so the
+    point-side reductions are device-local (owner-computed Schur, SURVEY.md
+    §2.5), matching g2o's landmark marginalization (block_solver.h:132-172).
+    """
+    K_, N = state.kf_obs.shape
+    M, D = state.mp_obs_kf.shape
+    okf, okp = state.mp_obs_kf, state.mp_obs_kp
+    ks, ps = jnp.clip(okf, 0, None), jnp.clip(okp, 0, None)
+    active = (state.mp_valid[:, None] & (okf >= 0) & state.kf_valid[ks] &
+              state.kf_kp_valid[ks, ps] & (state.kf_obs[ks, ps] >= 0))
+    oct_ = state.kf_octave[ks, ps]
+    w = jnp.where(active,
+                  (1.0 / cfg.orb.scale_factor ** 2) ** oct_.astype(jnp.float32),
+                  0.0)
+    return BAProblem(
+        cam_pose=state.kf_pose,
+        cam_var=state.kf_valid & (jnp.arange(K_) != 0),
+        points=state.mp_pos,
+        pt_var=state.mp_valid,
+        obs_cam=ks.reshape(-1),
+        obs_pid=jnp.broadcast_to(jnp.arange(M)[:, None], (M, D)).reshape(-1),
+        obs_uv=state.kf_uv[ks, ps].reshape(-1, 2),
+        obs_ur=jnp.where(active, state.kf_ur[ks, ps], -1.0).reshape(-1),
+        obs_w=w.reshape(-1),
+        K=camera.intrinsics(cfg.camera),
+        bf=jnp.asarray(cfg.camera.bf, jnp.float32))
+
+
+def global_ba_cg(state: MapState, cfg: SLAMConfig, n_outer: int = 10,
+                 n_cg: int = 50) -> MapState:
+    """Full-map BA via the matrix-free CG solver on the point-major problem.
+    Scales to KITTI capacities (C=2048 cameras) where materializing the
+    [6C, 6C] reduced system of `ba_solve_dense` (12288^2 floats) is
+    infeasible; memory here is O(R) rows + O(C) blocks."""
+    prob = build_global_problem_point_major(state, cfg)
+    res = ba_solve(prob, n_outer=n_outer, n_cg=n_cg,
+                   chi2_th_mono=cfg.ba.chi2_mono,
+                   chi2_th_stereo=cfg.ba.chi2_stereo)
+    kf_pose = jnp.where(prob.cam_var[:, None], res.cam_pose, state.kf_pose)
+    mp_pos = jnp.where(state.mp_valid[:, None], res.points, state.mp_pos)
+    return state._replace(kf_pose=kf_pose, mp_pos=mp_pos)
+
+
+# Above this camera count, global BA routes through the matrix-free CG path
+# (dense reduced system would be [6C, 6C]).
+_GLOBAL_DENSE_MAX_CAMS = 256
+
+
 def global_ba(state: MapState, cfg: SLAMConfig, n_outer: int = 10,
               n_cg: int = 50) -> MapState:
     """Full-map BA (reference Optimizer::GlobalBundleAdjustemnt,
     Optimizer.cc:41-237): all valid KFs variable except KF 0."""
+    if state.kf_obs.shape[0] > _GLOBAL_DENSE_MAX_CAMS:
+        return global_ba_cg(state, cfg, n_outer=n_outer, n_cg=n_cg)
     K_, N = state.kf_obs.shape
     M = state.mp_pos.shape[0]
     D = state.mp_obs_kf.shape[1]

@@ -286,10 +286,18 @@ def ba_solve(prob: BAProblem, n_outer: int = 10, n_cg: int = 40,
              huber_delta2: float = 5.991, use_huber: bool = True,
              lam0: float = 1e-4, chi2_th_mono: float = 5.991,
              chi2_th_stereo: float = 7.815,
-             psum_axis: str | None = None) -> BAResult:
+             psum_axis: str | None = None,
+             pt_owner_complete: bool = False) -> BAResult:
     """Run LM for `n_outer` iterations.  If `psum_axis` is given, the
     observation arrays are assumed sharded over that mesh axis and all
-    cross-observation reductions are all-reduced (distributed BA)."""
+    cross-observation reductions are all-reduced (distributed BA).
+
+    With `pt_owner_complete=True` (landmark-sharded SPMD: every observation
+    row of a point lives on the device that owns that point), the point-side
+    reductions (Hpp/bp and the CG matvec's landmark stage) stay device-local
+    — only camera-side reductions and LM costs are all-reduced.  This is the
+    map-block partitioning of SURVEY.md §2.5: Schur landmark marginalization
+    owner-computed per shard, reduced camera system assembled with psum."""
     C = prob.cam_pose.shape[0]
     M = prob.points.shape[0]
     # per-obs Huber delta^2: stereo edges get the 7.815 gate
@@ -308,7 +316,7 @@ def ba_solve(prob: BAProblem, n_outer: int = 10, n_cg: int = 40,
 
     def seg_pt(vals):
         out = jax.ops.segment_sum(vals, prob.obs_pid, num_segments=M)
-        return maybe_psum(out)
+        return out if pt_owner_complete else maybe_psum(out)
 
     def chi2_fn(cam_pose, points):
         e, _, _ = _residuals(prob, cam_pose, points)
@@ -392,12 +400,20 @@ def ba_solve(prob: BAProblem, n_outer: int = 10, n_cg: int = 40,
         new_cam = jnp.where(prob.cam_var[:, None], new_cam, cam_pose)
         new_points = points + dp
 
-        old_cost = jnp.sum(chi2 * w_rob)
+        # LM accept/reject must be a GLOBAL decision under sharding: psum the
+        # costs so every device takes the same branch (divergent `ok` would
+        # silently fork the replicated camera states across devices)
+        old_cost = maybe_psum(jnp.sum(chi2 * w_rob))
         new_chi2 = chi2_fn(new_cam, new_points)
         new_rob = _huber_w(new_chi2, delta2) if use_huber else 1.0
-        new_cost = jnp.sum(new_chi2 * new_rob)
+        new_cost = maybe_psum(jnp.sum(new_chi2 * new_rob))
         ok = (new_cost < old_cost) & jnp.all(jnp.isfinite(new_cam)) & \
             jnp.all(jnp.isfinite(new_points))
+        if psum_axis and not pt_owner_complete:
+            pass  # points replicated: finiteness check already global
+        elif psum_axis:
+            # landmark-sharded: a non-finite point on any shard must veto
+            ok = jax.lax.pmin(ok.astype(jnp.int32), psum_axis) > 0
         cam_pose = jnp.where(ok, new_cam, cam_pose)
         points = jnp.where(ok, new_points, points)
         lam = jnp.clip(jnp.where(ok, lam * 0.3, lam * 5.0), 1e-9, 1e6)

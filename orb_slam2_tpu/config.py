@@ -74,6 +74,13 @@ class MatchConfig:
     # two-view bootstrap admits more tentative pairs and lets the batched
     # 8-point RANSAC reject the extras.
     th_init: int = 75
+    # Loop/reloc cross-revisit matching gate.  Same rationale as th_init:
+    # the custom BRIEF pattern's true-pair Hamming distribution is wider
+    # than the reference's learned bit_pattern_31_, and revisit viewpoint
+    # change widens it further; TH_LOW=50 (LoopClosing SearchByBoW,
+    # ORBmatcher.cc:522-655) starves the >=20-match Sim3 gate.  The Sim3
+    # RANSAC + two-way agreement downstream rejects the extra outliers.
+    th_loop: int = 75
     check_orientation: bool = True
 
 
@@ -140,9 +147,10 @@ class MappingConfig:
     fuse_radius: float = 3.0         # SearchInNeighbors Fuse default th (ORBmatcher.h:75)
     # SearchInNeighbors covisible targets (reference: 20 mono / 10 stereo
     # first-order + up to 5 second-order each, LocalMapping.cc:457-476; here
-    # the fuse is two-way per neighbor so first-order-only with 8 targets
-    # gives comparable merge coverage at a fraction of the cost)
+    # the fuse is two-way per neighbor so 8 first-order + 4 second-order
+    # targets give comparable merge coverage at a fraction of the cost)
     fuse_neighbors: int = 8
+    fuse_neighbors_second: int = 4  # LocalMapping.cc:465-476
 
 
 @dataclasses.dataclass(frozen=True)

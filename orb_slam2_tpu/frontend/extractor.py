@@ -86,15 +86,22 @@ def _select_level(score: jnp.ndarray, quota: int, border: int,
     return xy, resp, valid
 
 
-def build_extractor(cfg: ORBConfig, height: int, width: int):
+def build_extractor(cfg: ORBConfig, height: int, width: int,
+                    use_pallas: bool | None = None):
     """Return a jittable `extract(img [H, W] float32) -> Features` closure
-    for a fixed image size."""
+    for a fixed image size.
+
+    `use_pallas=None` auto-selects the fused Pallas FAST+NMS kernel
+    (frontend/pallas_fast.py) on TPU backends and the jnp reference path
+    elsewhere; both are bit-equivalent (tests/test_pallas.py)."""
     quotas = per_level_quota(cfg.n_features, cfg.n_levels, cfg.scale_factor)
     shapes = pyramid.level_shapes(height, width, cfg.n_levels, cfg.scale_factor)
     total = sum(quotas)
     pad = cfg.max_keypoints - total
     if pad < 0:
         raise ValueError(f"max_keypoints {cfg.max_keypoints} < quota sum {total}")
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
 
     def extract(img: jnp.ndarray) -> Features:
         levels = pyramid.build_pyramid(img, cfg.n_levels, cfg.scale_factor)
@@ -102,8 +109,11 @@ def build_extractor(cfg: ORBConfig, height: int, width: int):
         for lvl, (quota, lv_img) in enumerate(zip(quotas, levels)):
             if quota == 0:
                 continue
-            smap = fast.fast_score_map(lv_img)
-            smap = fast.nms3x3(smap)
+            if use_pallas:
+                from orb_slam2_tpu.frontend.pallas_fast import fast_nms_pallas
+                smap = fast_nms_pallas(lv_img, interpret=False)
+            else:
+                smap = fast.nms3x3(fast.fast_score_map(lv_img))
             smap = fast.cell_threshold(smap, cfg.cell_size,
                                        float(cfg.ini_th_fast), float(cfg.min_th_fast))
             xy, resp, valid = _select_level(

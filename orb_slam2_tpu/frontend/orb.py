@@ -32,7 +32,23 @@ _PATTERN_SEED = 20260817
 
 
 def _make_pattern() -> np.ndarray:
-    """[256, 2, 2] int32 (pair, point, (dy, dx)) deterministic pattern."""
+    """[256, 2, 2] int32 (pair, point, (dy, dx)) test pattern.
+
+    Preferred source: `data/brief_pattern.npy`, learned offline by
+    scripts/train_pattern.py with the ORB paper's greedy
+    variance/decorrelation selection over a keypoint-patch corpus (the
+    procedure behind the reference's `bit_pattern_31_` table,
+    ORBextractor.cc:150-407 — our own corpus and code, not their table).
+    Fallback when absent: deterministic i.i.d. Gaussian pairs (classic
+    BRIEF recipe), noticeably weaker across revisit viewpoint change."""
+    import os
+    learned = os.path.join(os.path.dirname(__file__), "..", "data",
+                           "brief_pattern.npy")
+    if os.path.exists(learned):
+        pat = np.load(learned).astype(np.int32)
+        assert pat.shape == (N_BITS, 2, 2), pat.shape
+        assert np.abs(pat).max() <= _PATTERN_RADIUS
+        return pat
     rng = np.random.RandomState(_PATTERN_SEED)
     pts = []
     sigma = PATCH / 5.0

@@ -39,14 +39,23 @@ def load_settings(path: str, sensor: int) -> cfg_mod.SLAMConfig:
         th_depth=_read(fs, "ThDepth", 35.0),
         depth_map_factor=_read(fs, "DepthMapFactor", 5000.0) or 1.0)
     n_feat = int(_read(fs, "ORBextractor.nFeatures", 1000) or 1000)
+    # TPU-native extension keys (absent from reference YAMLs, silently
+    # defaulted like every other key): fixed array capacities of the engine.
+    max_kp = int(_read(fs, "TPU.maxKeypoints",
+                       1 << max(9, math.ceil(math.log2(max(n_feat, 1))))))
     orb = cfg_mod.ORBConfig(
         n_features=n_feat,
         scale_factor=_read(fs, "ORBextractor.scaleFactor", 1.2) or 1.2,
         n_levels=int(_read(fs, "ORBextractor.nLevels", 8) or 8),
         ini_th_fast=int(_read(fs, "ORBextractor.iniThFAST", 20) or 20),
         min_th_fast=int(_read(fs, "ORBextractor.minThFAST", 7) or 7),
-        max_keypoints=1 << max(10, math.ceil(math.log2(max(n_feat, 1)))))
+        max_keypoints=max_kp)
     tracking = cfg_mod.TrackingConfig(max_frames_hint=int(fps))
-    cap = cfg_mod.Capacity(max_obs_per_kf=orb.max_keypoints)
+    cap = cfg_mod.Capacity(
+        max_obs_per_kf=orb.max_keypoints,
+        max_keyframes=int(_read(fs, "TPU.maxKeyframes", 512)),
+        max_points=int(_read(fs, "TPU.maxPoints", 32768)),
+        max_frames=int(_read(fs, "TPU.maxFrames", 8192)),
+        local_ba_points=int(_read(fs, "TPU.localBAPoints", 8192)))
     return cfg_mod.SLAMConfig(sensor=sensor, camera=cam, orb=orb,
                               tracking=tracking, cap=cap)

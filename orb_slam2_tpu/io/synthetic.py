@@ -84,7 +84,8 @@ def forward_trajectory(n_frames: int, speed=0.08, yaw_rate=0.002) -> np.ndarray:
     return poses
 
 
-def loop_trajectory(n_frames: int, radius=1.2) -> np.ndarray:
+def loop_trajectory(n_frames: int, radius=1.2,
+                    revolutions: float = 1.0) -> np.ndarray:
     """Closed circular path with a FULL 360-degree yaw (camera follows the
     tangent, like driving a circular corridor): each pose sees only a sector
     of the room, so start and end share appearance but the middle does not —
@@ -94,9 +95,9 @@ def loop_trajectory(n_frames: int, radius=1.2) -> np.ndarray:
     (KeyFrameDatabase.cc:96 excludes connected keyframes)."""
     poses = np.zeros((n_frames, 7))
     for i in range(n_frames):
-        s = 2 * np.pi * i / n_frames
+        s = 2 * np.pi * revolutions * i / n_frames
         t = np.array([radius * np.sin(s), 0.0, radius * (1 - np.cos(s))])
-        q = _quat_from_axis_angle([0, 1, 0], s)  # full revolution
+        q = _quat_from_axis_angle([0, 1, 0], s)  # yaw follows the tangent
         poses[i, :4] = q / np.linalg.norm(q)
         poses[i, 4:] = t
     return poses
@@ -132,7 +133,8 @@ def generate(cam: CameraConfig, n_frames: int = 120, n_points: int = 600,
              trajectory: str = "xyz", seed: int = 0,
              depth_range=(2.0, 8.0), sprite=25,
              noise_sigma: float = 1.0,
-             poses_override: np.ndarray = None) -> SyntheticSequence:
+             poses_override: np.ndarray = None,
+             loop_revolutions: float = 1.0) -> SyntheticSequence:
     """Render a textured room (5 planes, ray-cast with a z-buffer).
 
     Local patches move coherently (each lies on one plane) so feature
@@ -151,7 +153,7 @@ def generate(cam: CameraConfig, n_frames: int = 120, n_points: int = 600,
     elif trajectory == "xyz":
         twc = xyz_trajectory(n_frames)
     elif trajectory == "loop":
-        twc = loop_trajectory(n_frames)
+        twc = loop_trajectory(n_frames, revolutions=loop_revolutions)
     else:
         twc = forward_trajectory(n_frames)
 

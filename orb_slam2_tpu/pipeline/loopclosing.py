@@ -49,7 +49,11 @@ def detect(state: MapState, kf_id, cfg: SLAMConfig, n_cand: int = 8):
         shared_frac=cfg.loop.shared_word_frac,
         acc_frac=cfg.loop.acc_score_frac)
     csafe = jnp.clip(res.ids, 0, None)
-    groups = (state.covis[csafe] > 0) | \
+    # candidate group = candidate + its *connected* KFs (weight >= 15, the
+    # reference's GetConnectedKeyFrames semantics, KeyFrame.cc:289-379);
+    # weight-1 covisibilities would make groups near-global and trivially
+    # overlapping, defeating the temporal-consistency chain
+    groups = (state.covis[csafe] >= 15) | \
         jax.nn.one_hot(csafe, state.covis.shape[0], dtype=bool)
     groups = groups & (res.ids >= 0)[:, None]
     return res.ids, groups
@@ -100,6 +104,15 @@ def verify(state: MapState, kf_id, cand_id, key, cfg: SLAMConfig):
     N = state.kf_obs.shape[1]
     M = state.mp_pos.shape[0]
     fix_scale = cfg.sensor != 0
+    # The reference's absolute match-count gates (>=20 BoW, >=20 Sim3
+    # inliers, >=40 total; LoopClosing.cc:274,330,389) are calibrated to its
+    # 1000+-feature frames.  Available cross-KF matches scale with the
+    # extraction budget, so the gates scale with it too (floor at half to
+    # stay meaningful for tiny test configs).
+    fscale = max(0.5, min(1.0, cfg.orb.n_features / 1000.0))
+    min_bow = max(5, int(round(cfg.loop.min_bow_matches * fscale)))
+    min_inl_gate = max(5, int(round(cfg.loop.min_sim3_inliers * fscale)))
+    min_total = max(10, int(round(cfg.loop.min_total_matches * fscale)))
 
     # 1. descriptor matches between the two KFs' tracked points
     pids1 = state.kf_obs[kf_id]
@@ -108,7 +121,7 @@ def verify(state: MapState, kf_id, cand_id, key, cfg: SLAMConfig):
     ok2 = (pids2 >= 0) & state.mp_valid[jnp.clip(pids2, 0, None)]
     dist = hamming.hamming_matrix(state.kf_desc[kf_id], state.kf_desc[cand_id])
     res = search.match_descriptors(dist, jnp.ones_like(dist, bool),
-                                   cfg.match.th_low, cfg.match.nn_ratio_sim3,
+                                   cfg.match.th_loop, cfg.match.nn_ratio_sim3,
                                    ok1, ok2)
     idx = search.rotation_consistency(state.kf_angle[kf_id],
                                       state.kf_angle[cand_id], res.idx,
@@ -134,7 +147,7 @@ def verify(state: MapState, kf_id, cand_id, key, cfg: SLAMConfig):
         key, p1, p2, uv1, uv2, matched, K,
         cfg.loop.sim3_chi2 * sig1, cfg.loop.sim3_chi2 * sig2,
         fix_scale=fix_scale, iters=128,
-        min_inliers=cfg.loop.min_sim3_inliers)
+        min_inliers=min_inl_gate)
 
     # 2b. SearchBySim3 two-way guided top-up (reference ORBmatcher.cc:
     # 1102-1326, call site LoopClosing.cc:323): project candidate points
@@ -142,13 +155,18 @@ def verify(state: MapState, kf_id, cand_id, key, cfg: SLAMConfig):
     # through S12^-1; pairs that agree in both directions join the set.
     from orb_slam2_tpu.pipeline.tracking import predict_scale
     bounds = jnp.asarray([0.0, cfg.camera.width, 0.0, cfg.camera.height])
+    # exclude pairs already matched by BoW from both projection searches
+    # (vbAlreadyMatched1/2, ORBmatcher.cc:1130-1142) so a BoW-matched point
+    # cannot be re-paired with a second keypoint and bias optimize_sim3
+    cand_used = jnp.zeros((N + 1,), bool).at[
+        jnp.where(matched, idx_s, N)].set(matched)[:N]
     p2_all = lie.se3_apply(T2, state.mp_pos[jnp.clip(pids2, 0, None)])
     pc1 = lie.sim3_apply(rr.S12, p2_all)                 # cand pts -> cam1
     uvp1 = camera.project(K, pc1)
     oct_p1 = predict_scale(jnp.linalg.norm(pc1, axis=-1),
                            state.mp_max_dist[jnp.clip(pids2, 0, None)],
                            sf, cfg.orb.n_levels)
-    vis1 = ok2 & (pc1[:, 2] > 0) & camera.in_image(uvp1, bounds)
+    vis1 = ok2 & ~cand_used & (pc1[:, 2] > 0) & camera.in_image(uvp1, bounds)
     m1 = search.search_by_projection(
         uvp1, oct_p1, state.mp_desc[jnp.clip(pids2, 0, None)], vis1,
         state.kf_uv[kf_id], state.kf_octave[kf_id], state.kf_desc[kf_id],
@@ -160,7 +178,7 @@ def verify(state: MapState, kf_id, cand_id, key, cfg: SLAMConfig):
     oct_p2 = predict_scale(jnp.linalg.norm(pc2r, axis=-1),
                            state.mp_max_dist[jnp.clip(pids1, 0, None)],
                            sf, cfg.orb.n_levels)
-    vis2 = ok1 & (pc2r[:, 2] > 0) & camera.in_image(uvp2, bounds)
+    vis2 = ok1 & ~matched & (pc2r[:, 2] > 0) & camera.in_image(uvp2, bounds)
     m2 = search.search_by_projection(
         uvp2, oct_p2, state.mp_desc[jnp.clip(pids1, 0, None)], vis2,
         state.kf_uv[cand_id], state.kf_octave[cand_id],
@@ -207,7 +225,7 @@ def verify(state: MapState, kf_id, cand_id, key, cfg: SLAMConfig):
     bounds = jnp.asarray([0.0, cfg.camera.width, 0.0, cfg.camera.height])
     vis = loop_mask & (pc[:, 2] > 0) & camera.in_image(uvp, bounds)
     # compact to fixed slots and match by projection
-    P = 2048
+    P = min(2048, M)
     order = jnp.argsort(~vis)
     sel = order[:P]
     sel_ok = vis[sel]
@@ -225,9 +243,9 @@ def verify(state: MapState, kf_id, cand_id, key, cfg: SLAMConfig):
         tgt].set(jnp.where(mres.idx >= 0, sel, -1))[:N]
     n_total = jnp.sum((loop_pids >= 0).astype(jnp.int32))
 
-    ok = (n_bow >= cfg.loop.min_bow_matches) & rr.ok & \
-        (n_inl >= cfg.loop.min_sim3_inliers) & \
-        (n_total >= cfg.loop.min_total_matches)
+    ok = (n_bow >= min_bow) & rr.ok & \
+        (n_inl >= min_inl_gate) & \
+        (n_total >= min_total)
     return ok, Scm, loop_pids, jnp.stack([n_bow, n_inl, n_total])
 
 
@@ -281,11 +299,13 @@ def correct(state: MapState, kf_id, cand_id, Scm, loop_pids,
     # (LoopClosing.cc:518-535)
     cur_obs = state.kf_obs[kf_id]
     have_both = (loop_pids >= 0) & (cur_obs >= 0) & (cur_obs != loop_pids)
-    src = jnp.full((M,), -1, jnp.int32)
-    dst = jnp.full((M,), -1, jnp.int32)
-    csafe = jnp.where(have_both, cur_obs, M - 1)
-    src = src.at[csafe].set(jnp.where(have_both, cur_obs, -1))
-    dst = dst.at[csafe].set(jnp.where(have_both, loop_pids, -1))
+    # dummy writes target slot M (sliced off): slot M-1 as dummy would
+    # collide with a genuine fusion of point M-1 (write order undefined)
+    csafe = jnp.where(have_both, cur_obs, M)
+    src = jnp.full((M + 1,), -1, jnp.int32).at[csafe].set(
+        jnp.where(have_both, cur_obs, -1))[:M]
+    dst = jnp.full((M + 1,), -1, jnp.int32).at[csafe].set(
+        jnp.where(have_both, loop_pids, -1))[:M]
     src = jnp.where(src == jnp.arange(M), src, -1)
     state = ops.replace_points(state, src, dst)
     # and add loop points to free keypoints
@@ -311,7 +331,7 @@ def correct(state: MapState, kf_id, cand_id, Scm, loop_pids,
         pid_i = jnp.where((nb2[i] >= 0) & (obs_i >= 0), obs_i, M)
         loop_mask = loop_mask.at[pid_i].set(True)
     loop_mask = loop_mask[:M] & state.mp_valid
-    P = 2048
+    P = min(2048, M)
     _, sel = jax.lax.top_k(loop_mask.astype(jnp.int32), P)
     sel_ok = loop_mask[sel]
     gids = jnp.concatenate([jnp.asarray([kf_id], jnp.int32),
@@ -337,11 +357,11 @@ def correct(state: MapState, kf_id, cand_id, Scm, loop_pids,
             jnp.where(mres.idx >= 0, sel, -1))[:N]
         curo = state.kf_obs[g]
         both = (lp >= 0) & (curo >= 0) & (curo != lp)
-        cs = jnp.where(both, curo, M - 1)
-        srcg = jnp.full((M,), -1, jnp.int32).at[cs].set(
-            jnp.where(both, curo, -1))
-        dstg = jnp.full((M,), -1, jnp.int32).at[cs].set(
-            jnp.where(both, lp, -1))
+        cs = jnp.where(both, curo, M)  # dummy -> slot M, sliced off
+        srcg = jnp.full((M + 1,), -1, jnp.int32).at[cs].set(
+            jnp.where(both, curo, -1))[:M]
+        dstg = jnp.full((M + 1,), -1, jnp.int32).at[cs].set(
+            jnp.where(both, lp, -1))[:M]
         srcg = jnp.where(srcg == jnp.arange(M), srcg, -1)
         state = ops.replace_points(state, srcg, dstg)
         addg = (lp >= 0) & (state.kf_obs[g] < 0)
@@ -385,13 +405,12 @@ def correct(state: MapState, kf_id, cand_id, Scm, loop_pids,
         state.kf_valid[jnp.clip(ej, 0, None)] & (ei != ej)
     ejs = jnp.clip(ej, 0, None)
 
-    # measurements from *pre-correction* relative poses, except edges
-    # touching the corrected group, which use corrected ones... the reference
-    # uses NonCorrectedSim3 for most and corrected for the loop edge; here:
-    # all measurements from the CURRENT (already partially corrected) state,
-    # plus the loop edge measured by Scm.
+    # measurements from the *pre-correction* relative poses (NonCorrectedSim3,
+    # Optimizer.cc:847-982): S_all was captured before the group correction,
+    # so edge constraints encode the drifted-but-consistent odometry geometry;
+    # only the appended loop edge below carries the verified Scm measurement.
     S_meas = jax.vmap(lambda a, b: lie.sim3_compose(a, lie.sim3_inverse(b)))(
-        S_nodes[ejs], S_nodes[jnp.clip(ei, 0, None)])
+        S_all[ejs], S_all[jnp.clip(ei, 0, None)])
     # append the loop edge with the verified Sim3 measurement
     S_loop_meas = lie.sim3_compose(
         S_nodes[cand_id], lie.sim3_inverse(Scm))  # cand vs corrected current

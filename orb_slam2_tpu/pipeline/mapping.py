@@ -348,6 +348,23 @@ def fuse_neighbors(state: MapState, kf_id, cfg: SLAMConfig,
         n_neighbors = cfg.mapping.fuse_neighbors
 
     neighbors = covisible_neighbors(state, kf_id, n_neighbors, min_weight=15)
+    # second-order targets: top covisibles of the first-order neighbors
+    # (reference LocalMapping.cc:465-476 takes up to 5 per neighbor; here the
+    # best few across all neighbors, deduplicated against the first order)
+    n2 = cfg.mapping.fuse_neighbors_second
+    if n2 > 0:
+        K_ = state.covis.shape[0]
+        nb_ok = neighbors >= 0
+        w2 = jnp.max(jnp.where(nb_ok[:, None],
+                               state.covis[jnp.clip(neighbors, 0, None)], 0),
+                     axis=0)                               # [K]
+        first = jnp.zeros((K_ + 1,), bool).at[
+            jnp.where(nb_ok, neighbors, K_)].set(True)[:K_]
+        first = first.at[jnp.clip(kf_id, 0, None)].set(True)
+        w2 = jnp.where(state.kf_valid & ~first, w2, 0)
+        top2_w, top2_i = jax.lax.top_k(w2, n2)
+        second = jnp.where(top2_w >= 15, top2_i, -1).astype(jnp.int32)
+        neighbors = jnp.concatenate([neighbors, second])
 
     def fuse_into(state, src_kf, dst_kf, valid_pair):
         """Project src_kf's points into dst_kf and fuse."""
@@ -400,17 +417,19 @@ def fuse_neighbors(state: MapState, kf_id, cfg: SLAMConfig,
             cnt[jnp.clip(existing, 0, None)]
         loser = jnp.where(src_bigger, existing, src_pid)
         winner = jnp.where(src_bigger, src_pid, existing)
-        src_arr = jnp.full((M,), -1, jnp.int32)
-        dst_arr = jnp.full((M,), -1, jnp.int32)
-        lsafe = jnp.where(merge_case, loser, M - 1)
+        # dummy writes target slot M (sliced off) so a genuine merge of
+        # point M-1 cannot collide with them (write order is undefined)
+        lsafe = jnp.where(merge_case, loser, M)
+        src_arr = jnp.full((M + 1,), -1, jnp.int32).at[lsafe].set(
+            jnp.where(merge_case, loser, -1))[:M]
+        dst_arr = jnp.full((M + 1,), -1, jnp.int32).at[lsafe].set(
+            jnp.where(merge_case, winner, -1))[:M]
         # guard: don't let a point replace itself or double-assign
-        src_arr = src_arr.at[lsafe].set(jnp.where(merge_case, loser, -1))
-        dst_arr = dst_arr.at[lsafe].set(jnp.where(merge_case, winner, -1))
         src_arr = jnp.where(src_arr == jnp.arange(M), src_arr, -1)
         state = ops.replace_points(state, src_arr, dst_arr)
         return state
 
-    for s in range(n_neighbors):
+    for s in range(neighbors.shape[0]):
         nb = neighbors[s]
         ok = nb >= 0
         state = fuse_into(state, kf_id, nb, ok)      # new KF points -> nb

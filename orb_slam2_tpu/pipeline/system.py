@@ -121,6 +121,10 @@ class SLAM:
                                           n_outer=cfg.ba.global_ba_iters,
                                           n_cg=40))
         self._record = jax.jit(record_traj)
+        # post-loop global BA runs chunked between frames (reference runs it
+        # on a transient thread, LoopClosing.cc:576-579) — see ba/async_gba.py
+        from orb_slam2_tpu.ba.async_gba import AsyncGBA
+        self._gba = AsyncGBA(cfg)
 
         # place recognition / loop closing / relocalization
         if self._transform is not None:
@@ -169,13 +173,16 @@ class SLAM:
 
     # ------------------------------------------------------------------
     def track_mono(self, img: np.ndarray, timestamp: float):
+        self._last_img = img
         return self._track((jnp.asarray(img, jnp.float32),), timestamp)
 
     def track_rgbd(self, img, depth, timestamp: float):
+        self._last_img = img
         return self._track((jnp.asarray(img, jnp.float32),
                             jnp.asarray(depth, jnp.float32)), timestamp)
 
     def track_stereo(self, img_l, img_r, timestamp: float):
+        self._last_img = img_l
         return self._track((jnp.asarray(img_l, jnp.float32),
                             jnp.asarray(img_r, jnp.float32)), timestamp)
 
@@ -202,6 +209,7 @@ class SLAM:
         """Process every pending async event and synchronize with the device.
         Call before reading trajectories/state counters."""
         self._drain(0)
+        self._step_gba(to_completion=True)
         jax.block_until_ready(self.ts.T)
 
     def _drain(self, keep: int):
@@ -233,6 +241,24 @@ class SLAM:
                     self._reloc_pending = (fid, out, frame)
         self._check_reloc(force=(keep == 0))
         self._check_loops(force=(keep == 0))
+        self._step_gba()
+
+    def _step_gba(self, to_completion: bool = False):
+        """Advance the chunked post-loop global BA by one dispatch (a few LM
+        iterations on the frozen snapshot problem); fold the result into the
+        live map when the budget is done (LoopClosing.cc:645-749)."""
+        if not self._gba.active:
+            return
+        while True:
+            done = self._gba.step()
+            if done:
+                self.state, T_new = self._gba.merge(self.state, self.ts.T,
+                                                    self.ts.ref_kf)
+                self.ts = self.ts._replace(T=T_new, last_T=T_new,
+                                           has_velocity=jnp.asarray(False))
+                return
+            if not to_completion:
+                return
 
     # ------------------------------------------------------------------
     def _check_reloc(self, force: bool = False):
@@ -341,11 +367,14 @@ class SLAM:
                     self.state = self._loop_correct(
                         self.state, jnp.asarray(kf_id), jnp.asarray(cand),
                         Scm, loop_pids)
-                    # run GBA after the pose-graph (LoopClosing.cc:576-579)
-                    self.state = self._global_ba(self.state)
                     T_new = self.state.kf_pose[kf_id]
                     self.ts = self.ts._replace(T=T_new, last_T=T_new,
                                                has_velocity=jnp.asarray(False))
+                    # GBA after the pose-graph: chunked between frames, like
+                    # the reference's transient thread (LoopClosing.cc:576-579);
+                    # a new loop closure discards a still-running solve
+                    # (mbStopGBA abort, LoopClosing.cc:411-423)
+                    self._gba.start(self.state, self.cfg.ba.loop_gba_iters)
                     self.last_loop_kf = kf_id
                     self._consistency.reset()
                     break
@@ -376,6 +405,7 @@ class SLAM:
         self.state = empty_map(self.cfg)
         self.ts = tracking.empty_track_state(self.cfg)
         self.status = NOT_INITIALIZED
+        self._gba.cancel()
 
     # ------------------------------------------------------------------
     def _traj_arrays(self):
@@ -448,6 +478,7 @@ class SLAM:
         self._pending.clear()
         self._loop_pending.clear()
         self._reloc_pending = None
+        self._gba.cancel()
 
     # ------------------------------------------------------------------
     # observability (reference System.cc:474-490)
@@ -474,6 +505,20 @@ class SLAM:
         changed = idx != getattr(self, "_last_big_change", 0)
         self._last_big_change = idx
         return changed
+
+    def draw_current_frame(self, out_path: str) -> str:
+        """Render the last tracked frame with its keypoint overlay and status
+        bar (reference FrameDrawer::DrawFrame, FrameDrawer.cc:38-165)."""
+        from orb_slam2_tpu.viz.viewer import render_frame
+        self.flush()
+        img = getattr(self, "_last_img", None)
+        if img is None:
+            img = np.zeros((self.cfg.camera.height, self.cfg.camera.width))
+        return render_frame(
+            img, np.asarray(self.ts.last_uv), np.asarray(self.ts.last_valid),
+            np.asarray(self.ts.last_pids), self.status,
+            int(self.state.n_kf), int(self.state.n_mp), out_path,
+            loc_only=self.localization_only)
 
     def save_trajectory_kitti(self, path: str):
         """KITTI format: per-frame 3x4 row-major Twc matrix

@@ -273,8 +273,10 @@ def track_local_map(state: MapState, ts: TrackState, frame: Frame,
         jnp.where(vote_ok, obs_kf_cur, K_)].add(1)[:K_]
     topv, topk = jax.lax.top_k(votes, min(cfg.cap.local_window, K_))
     k1_ok = topv > 0
-    k1_mask = jnp.zeros((K_,), bool).at[
-        jnp.where(k1_ok, topk, 0)].set(k1_ok) & state.kf_valid
+    # dummy writes go to slot K_ (not a real slot) — with duplicate indices
+    # .at[].set order is undefined, so using index 0 as dummy could drop KF 0
+    k1_mask = jnp.zeros((K_ + 1,), bool).at[
+        jnp.where(k1_ok, topk, K_)].set(True)[:K_] & state.kf_valid
     # K2: covisible neighbors of K1 (Tracking.cc:1294-1331)
     nb_mask = jnp.any(k1_mask[:, None] & (state.covis > 0), axis=0)
     local_kf = (k1_mask | nb_mask) & state.kf_valid
@@ -372,7 +374,7 @@ def build_track_step(cfg: SLAMConfig):
     TrackLocalMap / velocity+bookkeeping updates / NeedNewKeyFrame — the
     whole per-frame path of reference Tracking::Track (Tracking.cc:267-506)
     in one XLA program, with zero intermediate host synchronization."""
-    from orb_slam2_tpu.map.state import point_obs_count
+    from orb_slam2_tpu.map.state import weighted_obs_count
 
     def step(state: MapState, ts: TrackState, frame: Frame, loc_only=None):
         if loc_only is None:
@@ -425,7 +427,11 @@ def build_track_step(cfg: SLAMConfig):
         # --- phase 4: keyframe decision (reference Tracking.cc:977-1061) ---
         n_kf = state.n_kf
         min_obs = jnp.where(n_kf <= 2, 2, cfg.tracking.kf_min_obs)
-        cnt = point_obs_count(state)
+        # stereo observations count double (MapPoint::Observations via
+        # AddObservation, MapPoint.cc:96-109) — with plain per-KF counts a
+        # fresh stereo map (1 KF, min_obs=2) yields n_ref=0, c2 never fires
+        # and no second keyframe is ever inserted.
+        cnt = weighted_obs_count(state)
         robs = state.kf_obs[jnp.clip(ts.ref_kf, 0, None)]
         n_ref = jnp.sum(((robs >= 0) &
                          (cnt[jnp.clip(robs, 0, None)] >= min_obs)).astype(jnp.int32))

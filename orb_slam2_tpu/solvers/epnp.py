@@ -103,6 +103,37 @@ def epnp_solve(pw: jnp.ndarray, uv: jnp.ndarray, K: jnp.ndarray,
         b2 = jnp.sqrt(jnp.maximum(jnp.abs(sol[2]), 1e-12)) * jnp.sign(sol[1]) * jnp.sign(sol[0])
         return jnp.asarray([b1, b2, 0.0, 0.0])
 
+    def beta_case3():
+        # approx_betas for N=3 (PnPsolver compute_betas_approx_3,
+        # PnPsolver.h:100-104): L [b11 b12 b22 b13 b23] = rho, 6x5 lstsq
+        idx = jnp.asarray([(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)])
+        dv1 = V[0][idx[:, 0]] - V[0][idx[:, 1]]
+        dv2 = V[1][idx[:, 0]] - V[1][idx[:, 1]]
+        dv3 = V[2][idx[:, 0]] - V[2][idx[:, 1]]
+        L = jnp.stack([jnp.sum(dv1 * dv1, -1), 2 * jnp.sum(dv1 * dv2, -1),
+                       jnp.sum(dv2 * dv2, -1), 2 * jnp.sum(dv1 * dv3, -1),
+                       2 * jnp.sum(dv2 * dv3, -1)], axis=1)   # [6, 5]
+        x = jnp.linalg.lstsq(L, dw2)[0]
+        b1 = jnp.sqrt(jnp.maximum(jnp.abs(x[0]), 1e-12))
+        b2 = jnp.sqrt(jnp.maximum(jnp.abs(x[2]), 1e-12)) * jnp.sign(x[1]) * \
+            jnp.sign(x[0])
+        b3 = x[3] / jnp.maximum(b1, 1e-12)
+        return jnp.asarray([b1, b2, b3, 0.0])
+
+    def beta_case4():
+        # approx_betas for N=4 (PnPsolver compute_betas_approx_1,
+        # PnPsolver.h:94-98): L [b11 b12 b13 b14] = rho, 6x4 lstsq
+        idx = jnp.asarray([(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)])
+        dvs = [V[k][idx[:, 0]] - V[k][idx[:, 1]] for k in range(4)]
+        L = jnp.stack([jnp.sum(dvs[0] * dvs[0], -1),
+                       2 * jnp.sum(dvs[0] * dvs[1], -1),
+                       2 * jnp.sum(dvs[0] * dvs[2], -1),
+                       2 * jnp.sum(dvs[0] * dvs[3], -1)], axis=1)  # [6, 4]
+        x = jnp.linalg.lstsq(L, dw2)[0]
+        b1 = jnp.sqrt(jnp.maximum(jnp.abs(x[0]), 1e-12)) * jnp.sign(x[0])
+        b1 = jnp.where(b1 == 0, 1e-6, b1)
+        return jnp.asarray([jnp.abs(b1), x[1] / b1, x[2] / b1, x[3] / b1])
+
     def gauss_newton(betas, iters=5):
         idx = jnp.asarray([(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)])
 
@@ -118,7 +149,8 @@ def epnp_solve(pw: jnp.ndarray, uv: jnp.ndarray, K: jnp.ndarray,
 
         return jax.lax.fori_loop(0, iters, body, betas)
 
-    candidates = [gauss_newton(beta_case1()), gauss_newton(beta_case2())]
+    candidates = [gauss_newton(beta_case1()), gauss_newton(beta_case2()),
+                  gauss_newton(beta_case3()), gauss_newton(beta_case4())]
 
     def recover(betas):
         cc = jnp.einsum('k,kij->ij', betas, V)   # camera control points [4,3]

@@ -113,6 +113,68 @@ def render_map(state, out_path: str, traj: np.ndarray | None = None,
     return out_path
 
 
+def render_frame(img: np.ndarray, uv: np.ndarray, kp_valid: np.ndarray,
+                 pids: np.ndarray, status: int, n_kf: int, n_mp: int,
+                 out_path: str, vo_flags: np.ndarray | None = None,
+                 loc_only: bool = False, title: str | None = None) -> str:
+    """Current-frame render: keypoint overlay + status bar — the headless
+    equivalent of reference FrameDrawer::DrawFrame/DrawTextInfo
+    (FrameDrawer.cc:38-165).
+
+    Tracked map-point keypoints are drawn as green squares, temporal "VO"
+    points (localization mode) blue, untracked keypoints as faint dots;
+    the status bar reports mode, KF/MP counts and the match count.
+    """
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    img = np.asarray(img)
+    uv = np.asarray(uv)
+    kp_valid = np.asarray(kp_valid).astype(bool)
+    pids = np.asarray(pids)
+    tracked = kp_valid & (pids >= 0)
+    if vo_flags is not None:
+        vo = kp_valid & np.asarray(vo_flags).astype(bool) & ~tracked
+    else:
+        vo = np.zeros_like(tracked)
+    plain = kp_valid & ~tracked & ~vo
+
+    h, w = img.shape[:2]
+    fig, ax = plt.subplots(figsize=(w / 100.0, (h + 26) / 100.0), dpi=100)
+    ax.imshow(img, cmap="gray", vmin=0, vmax=255, extent=[0, w, h, 0])
+    if plain.any():
+        ax.scatter(uv[plain, 0], uv[plain, 1], s=4, c="0.7", marker=".",
+                   linewidths=0)
+    if tracked.any():
+        ax.scatter(uv[tracked, 0], uv[tracked, 1], s=22, facecolors="none",
+                   edgecolors="lime", marker="s", linewidths=0.9)
+    if vo.any():
+        ax.scatter(uv[vo, 0], uv[vo, 1], s=22, facecolors="none",
+                   edgecolors="deepskyblue", marker="s", linewidths=0.9)
+    # status bar (FrameDrawer::DrawTextInfo, FrameDrawer.cc:129-165)
+    states = {0: "WAITING FOR IMAGES", 1: "TRYING TO INITIALIZE",
+              2: "LOCALIZATION | " if loc_only else "SLAM MODE | ",
+              3: "TRACK LOST"}
+    s = states.get(int(status), "?")
+    if int(status) == 2:
+        s += (f"KFs: {int(n_kf)}, MPs: {int(n_mp)}, "
+              f"Matches: {int(tracked.sum())}")
+        if vo.any():
+            s += f", + VO matches: {int(vo.sum())}"
+    ax.text(4, h + 16, s, fontsize=9, color="black",
+            bbox=dict(facecolor="white", edgecolor="none", pad=1.5))
+    ax.set_xlim(0, w)
+    ax.set_ylim(h + 26, 0)
+    ax.axis("off")
+    if title:
+        ax.set_title(title)
+    fig.subplots_adjust(left=0, right=1, top=1, bottom=0)
+    fig.savefig(out_path)
+    plt.close(fig)
+    return out_path
+
+
 def render_trajectory(est_twc: np.ndarray, out_path: str,
                       gt_twc: np.ndarray | None = None,
                       title: str | None = None) -> str:

@@ -32,9 +32,13 @@ def small_cfg():
         max_keyframes=96, max_points=6144, max_obs_per_kf=512,
         max_frames=512, local_ba_points=2048)
     import dataclasses
-    loop = dataclasses.replace(config_mod.LoopConfig(), min_bow_matches=15,
-                               min_sim3_inliers=12, sim3_ransac_min_inliers=12,
-                               min_total_matches=30)
+    if os.environ.get("DIAG_DEFAULTS", "0") == "1":
+        loop = config_mod.LoopConfig()   # exactly what test_e2e uses
+    else:
+        loop = dataclasses.replace(config_mod.LoopConfig(), min_bow_matches=15,
+                                   min_sim3_inliers=12,
+                                   sim3_ransac_min_inliers=12,
+                                   min_total_matches=30)
     return config_mod.SLAMConfig(sensor=0, camera=cam, orb=orb, cap=cap,
                                  loop=loop)
 

@@ -12,8 +12,10 @@ import pytest
 
 from orb_slam2_tpu.ba.posegraph import optimize_pose_graph
 from orb_slam2_tpu.ba.schur import ba_solve
+from orb_slam2_tpu.ba.schur import BAProblem
 from orb_slam2_tpu.distributed.ba import (distributed_ba_solve,
-                                          make_obs_mesh)
+                                          distributed_ba_solve_sharded,
+                                          make_obs_mesh, make_pt_mesh)
 from orb_slam2_tpu.distributed.posegraph import (distributed_pose_graph,
                                                  make_edge_mesh)
 
@@ -46,6 +48,36 @@ def test_distributed_ba_converges_large(obs_mesh):
     res = distributed_ba_solve(prob, obs_mesh, n_outer=12, n_cg=40)
     assert _pose_err(res.cam_pose, poses_gt) < 0.03
     assert float(jnp.mean(res.inlier)) > 0.95
+
+
+def _to_point_major(prob, n_cams, n_pts):
+    """Reorder a full-grid camera-major problem (row = c*P + p) into
+    point-major layout (row = p*C + c), i.e. D = n_cams observer slots per
+    point — the layout `distributed_ba_solve_sharded` partitions."""
+    perm = (np.arange(n_pts)[:, None] * 0 +
+            np.arange(n_cams)[None, :] * n_pts +
+            np.arange(n_pts)[:, None]).reshape(-1)
+    g = lambda x: x[perm]
+    return prob._replace(obs_cam=g(prob.obs_cam), obs_pid=g(prob.obs_pid),
+                         obs_uv=g(prob.obs_uv), obs_ur=g(prob.obs_ur),
+                         obs_w=g(prob.obs_w))
+
+
+def test_landmark_sharded_ba_matches_single_device(obs_mesh):
+    """v2 map-block partitioning: landmarks + their rows sharded, cameras
+    replicated, point work owner-computed — must agree with the single-device
+    solve on the same point-major problem."""
+    C, P = 16, 4096
+    prob, poses_gt, _ = _make_problem(n_cams=C, n_pts=P, noise_px=0.4,
+                                      pose_noise=0.02, pt_noise=0.02, seed=7)
+    pm = _to_point_major(prob, C, P)
+    mesh = make_pt_mesh(8)
+    r1 = jax.jit(lambda p: ba_solve(p, n_outer=8, n_cg=25))(pm)
+    r2 = distributed_ba_solve_sharded(pm, mesh, D=C, n_outer=8, n_cg=25)
+    assert _pose_err(r1.cam_pose, r2.cam_pose, align_scale=False) < 1e-4
+    np.testing.assert_allclose(np.asarray(r2.points), np.asarray(r1.points),
+                               atol=1e-3)
+    assert _pose_err(r2.cam_pose, poses_gt) < 0.05
 
 
 def test_distributed_pose_graph_matches_single(obs_mesh):
