@@ -66,9 +66,11 @@ def _run_mono(cfg, n_frames):
     ie, ig = evaluate.match_timestamps(slam.timestamps(), seq.timestamps)
     ate = (evaluate.ate_rmse(est[ie], seq.poses_twc[ig], align_scale=True)
            if len(ie) >= 10 else float("nan"))
+    # throughput = frames / total wall over the steady segment (mean, not
+    # median: keyframe frames and batched dispatches must count)
     times = np.asarray(slam.timings[10:])
-    med = float(np.median(times)) if len(times) else float("nan")
-    return slam, seq, 1.0 / med if med > 0 else 0.0, ate, len(ie)
+    mean = float(np.mean(times)) if len(times) else float("nan")
+    return slam, seq, 1.0 / mean if mean > 0 else 0.0, ate, len(ie)
 
 
 def _run_stereo(n_frames):
@@ -93,8 +95,8 @@ def _run_stereo(n_frames):
     ate = (evaluate.ate_rmse(est[ie], seq.poses_twc[ig], align_scale=False)
            if len(ie) >= 10 else float("nan"))
     times = np.asarray(slam.timings[10:])
-    med = float(np.median(times)) if len(times) else float("nan")
-    return 1.0 / med if med > 0 else 0.0, ate, len(ie), n_frames
+    mean = float(np.mean(times)) if len(times) else float("nan")
+    return 1.0 / mean if mean > 0 else 0.0, ate, len(ie), n_frames
 
 
 def main():

@@ -169,7 +169,54 @@ class SLAM:
                 jnp.reshape(ts.ref_kf, (1,))])
             return state, ts, frame, hud
 
+        self._full_step_raw = full_step    # for scan-batched super-steps
         self._full_step = jax.jit(full_step)
+
+        # --- optional frame-batched super-step (cfg.frame_batch > 1): scan
+        # B frames in ONE device program, amortizing per-program dispatch +
+        # runtime overhead.  Padded slots (flush of a partial batch) pass
+        # state through and emit hud[HUD_STATUS] = -1, ignored by _drain. ---
+        self._batch: list = []
+        if cfg.frame_batch > 1:
+            n_img = 1 if cfg.sensor == MONOCULAR else 2
+
+            def super_step(state, ts, stacked_imgs, fids, tss, actives,
+                           loc_only):
+                def body(carry, x):
+                    st, t2 = carry
+                    act = x[-1]
+                    fid, t = x[n_img], x[n_img + 1]
+                    im = tuple(x[:n_img])
+
+                    def run(op):
+                        return full_step(op[0], op[1], im, fid, t, loc_only)
+
+                    def skip(op):
+                        n = cfg.orb.max_keypoints
+                        fr = frame_mod.Frame(
+                            uv=jnp.zeros((n, 2)), uv_raw=jnp.zeros((n, 2)),
+                            ur=jnp.full((n,), -1.0),
+                            depth=jnp.full((n,), -1.0),
+                            octave=jnp.zeros((n,), jnp.int32),
+                            angle=jnp.zeros((n,)),
+                            desc=jnp.zeros((n, 32), jnp.uint8),
+                            valid=jnp.zeros((n,), bool),
+                            frame_id=fid.astype(jnp.int32),
+                            timestamp=t.astype(jnp.float32))
+                        hud = jnp.full((tracking.HUD_LEN,), -1, jnp.int32)
+                        return op[0], op[1], fr, hud
+
+                    st, t2, fr, hud = jax.lax.cond(act, run, skip, (st, t2))
+                    return (st, t2), (fr, hud)
+
+                xs = tuple(stacked_imgs) + (fids, tss, actives)
+                (state, ts), (frames, huds) = jax.lax.scan(
+                    body, (state, ts), xs)
+                return state, ts, frames, huds
+
+            self._super_step = jax.jit(super_step)
+        else:
+            self._super_step = None
 
     # ------------------------------------------------------------------
     def track_mono(self, img: np.ndarray, timestamp: float):
@@ -193,6 +240,12 @@ class SLAM:
             frame = self._frame_fn(*imgs, self.frame_count, timestamp)
             self._initialize(frame)
             self.frame_count += 1
+        elif self._super_step is not None:
+            self._batch.append((imgs, self.frame_count, timestamp))
+            self.frame_count += 1
+            if len(self._batch) >= self.cfg.frame_batch:
+                self._dispatch_batch()
+            self._drain(self.hud_lag)
         else:
             state, ts, frame, hud = self._full_step(
                 self.state, self.ts, imgs, self.frame_count, timestamp,
@@ -204,10 +257,39 @@ class SLAM:
             self._drain(self.hud_lag)
         self.timings.append(time.perf_counter() - t0)
 
+    def _dispatch_batch(self):
+        """Run the buffered frames through one scanned super-step (see
+        cfg.frame_batch); partial batches (flush) are padded with inactive
+        slots that pass state through."""
+        entries = self._batch
+        self._batch = []
+        n = len(entries)
+        if n == 0:
+            return
+        B = self.cfg.frame_batch
+        while len(entries) < B:
+            entries.append((entries[-1][0], -1, 0.0))   # inactive pad
+        n_img = len(entries[0][0])
+        stacked = tuple(jnp.stack([e[0][k] for e in entries])
+                        for k in range(n_img))
+        fids = jnp.asarray([e[1] for e in entries], jnp.int32)
+        tss = jnp.asarray([e[2] for e in entries], jnp.float32)
+        act = jnp.asarray([e[1] >= 0 for e in entries])
+        state, ts, frames, huds = self._super_step(
+            self.state, self.ts, stacked, fids, tss, act,
+            jnp.asarray(self.localization_only))
+        self.state, self.ts = state, ts
+        huds.copy_to_host_async()
+        for i in range(n):
+            frame_i = jax.tree.map(lambda x: x[i], frames)
+            self._pending.append((int(entries[i][1]), huds[i], frame_i))
+
     # ------------------------------------------------------------------
     def flush(self):
         """Process every pending async event and synchronize with the device.
         Call before reading trajectories/state counters."""
+        if self._super_step is not None and self._batch:
+            self._dispatch_batch()
         self._drain(0)
         self._step_gba(to_completion=True)
         jax.block_until_ready(self.ts.T)
@@ -406,6 +488,7 @@ class SLAM:
         self.ts = tracking.empty_track_state(self.cfg)
         self.status = NOT_INITIALIZED
         self._gba.cancel()
+        self._batch.clear()
 
     # ------------------------------------------------------------------
     def _traj_arrays(self):
