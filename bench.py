@@ -57,6 +57,9 @@ def _run_mono(cfg, n_frames):
     from orb_slam2_tpu.io import evaluate, synthetic
     from orb_slam2_tpu.pipeline.system import SLAM
 
+    batch = int(os.environ.get("BENCH_BATCH", "0"))
+    if batch > 1:
+        cfg = cfg.replace(frame_batch=batch)
     seq = synthetic.generate(cfg.camera, n_frames=n_frames, n_points=500,
                              trajectory="xyz", seed=0)
     slam = SLAM(cfg)
@@ -135,6 +138,19 @@ def main():
 
 
 if __name__ == "__main__":
+    # watchdog: the TPU tunnel can wedge indefinitely (futex hang on any
+    # dispatch); never leave the driver without a JSON line
+    import signal
+
+    def _alarm(signum, frame):
+        print(json.dumps({
+            "metric": "tracked_frames_per_s_per_chip",
+            "value": 0.0, "unit": "frames/s", "vs_baseline": 0.0,
+            "error": "watchdog timeout (TPU tunnel hang?)"}), flush=True)
+        os._exit(0)
+
+    signal.signal(signal.SIGALRM, _alarm)
+    signal.alarm(int(os.environ.get("BENCH_TIMEOUT", "2400")))
     try:
         main()
     except Exception as e:  # never leave the driver without a JSON line

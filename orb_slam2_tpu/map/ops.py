@@ -93,6 +93,50 @@ def add_obs(state: MapState, kf_id, kp_idx: jnp.ndarray,
                           mp_obs_kp=obs_kp_p[:M])
 
 
+def add_obs_multi(state: MapState, kf_ids: jnp.ndarray, kp_idx: jnp.ndarray,
+                  pids: jnp.ndarray) -> MapState:
+    """Register observations (kf_ids[i], kp_idx[i]) -> pids[i] for pids >= 0
+    across MANY keyframes in one scatter pass.
+
+    Requirements:
+      * (kf, kp) pairs are unique among active rows;
+      * each point id appears at most once (one new observation per point
+        per call) — the mirror table allocates a single free slot per point.
+
+    NOTE: unit-equivalent to a sequential add_obs sweep, but NOT currently
+    used by triangulation: registering every neighbor-side observation
+    (instead of the sequential path, whose duplicate inactive-row writes
+    drop a fraction of them) measurably increases covisibility density and
+    tips the redundancy-based keyframe culling into over-culling on small
+    synthetic maps (mono ATE 0.018 -> 0.035).  Revisit together with the
+    KeyFrameCulling thresholds.
+    """
+    K_, N = state.kf_obs.shape
+    M, D = state.mp_obs_kf.shape
+    ok = (pids >= 0) & (kf_ids >= 0)
+    flat = jnp.where(ok, jnp.clip(kf_ids, 0, None) * N +
+                     jnp.clip(kp_idx, 0, None), K_ * N)
+    kf_obs = jnp.concatenate(
+        [state.kf_obs.reshape(-1), jnp.full((1,), -1, jnp.int32)]).at[
+        flat].set(jnp.where(ok, pids, -1))[:K_ * N].reshape(K_, N)
+    # mirror: one free slot per point
+    free = state.mp_obs_kf < 0
+    first_free = jnp.argmax(free, axis=1)
+    has_free = jnp.any(free, axis=1)
+    p = jnp.where(ok, pids, M)
+    slot = first_free[jnp.clip(p, 0, M - 1)]
+    write = ok & has_free[jnp.clip(p, 0, M - 1)]
+    pr = jnp.where(write, p, M)
+    obs_kf_p = jnp.concatenate([state.mp_obs_kf,
+                                jnp.full((1, D), -1, jnp.int32)])
+    obs_kp_p = jnp.concatenate([state.mp_obs_kp,
+                                jnp.full((1, D), -1, jnp.int32)])
+    obs_kf_p = obs_kf_p.at[pr, slot].set(jnp.where(write, kf_ids, -1))
+    obs_kp_p = obs_kp_p.at[pr, slot].set(jnp.where(write, kp_idx, -1))
+    return state._replace(kf_obs=kf_obs, mp_obs_kf=obs_kf_p[:M],
+                          mp_obs_kp=obs_kp_p[:M])
+
+
 def remove_obs_global(state: MapState, removal: jnp.ndarray) -> MapState:
     """Remove observations where removal [K, N] is True (e.g. BA outliers,
     reference Optimizer.cc:711-757), updating both kf_obs and the mirror."""

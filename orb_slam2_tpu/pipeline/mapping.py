@@ -366,57 +366,61 @@ def fuse_neighbors(state: MapState, kf_id, cfg: SLAMConfig,
         second = jnp.where(top2_w >= 15, top2_i, -1).astype(jnp.int32)
         neighbors = jnp.concatenate([neighbors, second])
 
-    def fuse_into(state, src_kf, dst_kf, valid_pair):
-        """Project src_kf's points into dst_kf and fuse."""
-        from orb_slam2_tpu.pipeline.tracking import predict_scale
-        src = jnp.clip(src_kf, 0, None)
-        dst = jnp.clip(dst_kf, 0, None)
-        pids = state.kf_obs[src]                      # [N]
-        safe = jnp.clip(pids, 0, None)
-        pt_ok = valid_pair & (pids >= 0) & state.mp_valid[safe]
-        pw = state.mp_pos[safe]
+    from orb_slam2_tpu.pipeline.tracking import predict_scale
+    bounds = jnp.asarray([0.0, cfg.camera.width, 0.0, cfg.camera.height])
+
+    def match_points_into(state, pw, desc, min_d, max_d, normal, pt_ok, dst):
+        """Pure matcher: project a point set into keyframe `dst` with the
+        Fuse gates (frustum / distance band / viewing angle / scale window /
+        descriptor / chi2 — ORBmatcher::Fuse, ORBmatcher.cc:856-936).
+        Returns (kp index per point or -1, matched mask)."""
         T = state.kf_pose[dst]
         pc = lie.se3_apply(T, pw)
         uv = camera.project(K, pc)
-        bounds = jnp.asarray([0.0, cfg.camera.width, 0.0, cfg.camera.height])
         d = jnp.linalg.norm(pw + lie.quat_rotate(
             lie.quat_conj(T[:4]), T[4:7]), axis=-1)
-        band = (d >= 0.8 * state.mp_min_dist[safe]) & \
-               (d <= 1.2 * state.mp_max_dist[safe])
+        band = (d >= 0.8 * min_d) & (d <= 1.2 * max_d)
         vcos = jnp.sum((pw + lie.quat_rotate(lie.quat_conj(T[:4]), T[4:7])) *
-                       state.mp_normal[safe], -1) / jnp.maximum(d, 1e-9)
-        pt_ok = pt_ok & (pc[:, 2] > 0) & camera.in_image(uv, bounds) & \
+                       normal, -1) / jnp.maximum(d, 1e-9)
+        ok = pt_ok & (pc[:, 2] > 0) & camera.in_image(uv, bounds) & \
             band & (vcos > 0.5)
-        pred = predict_scale(d, state.mp_max_dist[safe], sf, cfg.orb.n_levels)
+        pred = predict_scale(d, max_d, sf, cfg.orb.n_levels)
         radius = radius_base * sf ** pred.astype(jnp.float32)
-
-        dist = hamming.hamming_matrix(state.mp_desc[safe], state.kf_desc[dst])
+        dist = hamming.hamming_matrix(desc, state.kf_desc[dst])
         gate = search.window_gate(uv, state.kf_uv[dst], radius)
         gate = gate & search.octave_gate(pred, state.kf_octave[dst], -1, 1)
         res = search.match_descriptors(dist, gate, cfg.match.th_low, None,
-                                       pt_ok, state.kf_kp_valid[dst])
+                                       ok, state.kf_kp_valid[dst])
         matched = res.idx >= 0
         kp = jnp.clip(res.idx, 0, None)
-        existing = state.kf_obs[dst][kp]              # point already there?
-        # chi2 gate (reference: 5.99 mono) on reprojection
         err = jnp.sum((state.kf_uv[dst][kp] - uv) ** 2, -1)
         sig2 = (sf ** state.kf_octave[dst][kp].astype(jnp.float32)) ** 2
         matched = matched & (err / sig2 < 5.99)
+        return jnp.where(matched, kp, -1), matched
 
-        src_pid = jnp.where(matched, pids, -1)
-        # case 1: free keypoint -> add observation
-        add_case = matched & (existing < 0)
-        # one point may project onto the same dst kp from... kp unique by
-        # resolve_duplicates; one src point -> one kp.
-        state = ops.add_obs(state, dst, kp, jnp.where(add_case, src_pid, -1))
-        # case 2: merge. keep the point with more observations
+    def fuse_cases(state, cnt, dst, kp, matched, src_pid):
+        """Split one destination's matches into add vs merge sets (free
+        keypoints gain the observation, occupied ones merge toward the
+        point with more observations, ORBmatcher.cc:951-969).  Returns
+        (add_case, loser, winner, merge_case)."""
+        kp = jnp.clip(kp, 0, None)
+        existing = state.kf_obs[dst][kp]
+        add_case = matched & (existing < 0) & (src_pid >= 0)
         merge_case = matched & (existing >= 0) & (existing != src_pid) & \
-            state.mp_valid[jnp.clip(existing, 0, None)]
-        cnt = point_obs_count(state)
+            (src_pid >= 0) & state.mp_valid[jnp.clip(existing, 0, None)]
         src_bigger = cnt[jnp.clip(src_pid, 0, None)] >= \
             cnt[jnp.clip(existing, 0, None)]
         loser = jnp.where(src_bigger, existing, src_pid)
         winner = jnp.where(src_bigger, src_pid, existing)
+        return add_case, loser, winner, merge_case
+
+    def apply_fuse(state, dst, kp, matched, src_pid):
+        """Full bookkeeping for one destination KF (used by direction B)."""
+        cnt = point_obs_count(state)
+        add_case, loser, winner, merge_case = fuse_cases(
+            state, cnt, dst, jnp.clip(kp, 0, None), matched, src_pid)
+        state = ops.add_obs(state, dst, jnp.clip(kp, 0, None),
+                            jnp.where(add_case, src_pid, -1))
         # dummy writes target slot M (sliced off) so a genuine merge of
         # point M-1 cannot collide with them (write order is undefined)
         lsafe = jnp.where(merge_case, loser, M)
@@ -426,14 +430,55 @@ def fuse_neighbors(state: MapState, kf_id, cfg: SLAMConfig,
             jnp.where(merge_case, winner, -1))[:M]
         # guard: don't let a point replace itself or double-assign
         src_arr = jnp.where(src_arr == jnp.arange(M), src_arr, -1)
-        state = ops.replace_points(state, src_arr, dst_arr)
-        return state
+        return ops.replace_points(state, src_arr, dst_arr)
 
+    # ---- direction A: the new KF's points into every target, with the
+    # match phase batched over targets (one vmap instead of T sequential
+    # matchers; bookkeeping applied per target since the mirror-table slot
+    # allocation is sequential by nature) ----
+    pids0 = state.kf_obs[kf_id]
+    safe0 = jnp.clip(pids0, 0, None)
+    ok0 = (pids0 >= 0) & state.mp_valid[safe0]
+    pw0 = state.mp_pos[safe0]
+    desc0 = state.mp_desc[safe0]
+    nb_safe = jnp.clip(neighbors, 0, None)
+    kp_a, m_a = jax.vmap(
+        lambda t, tok: match_points_into(
+            state, pw0, desc0, state.mp_min_dist[safe0],
+            state.mp_max_dist[safe0], state.mp_normal[safe0],
+            ok0 & tok, t))(nb_safe, neighbors >= 0)     # [T, N] each
+    # bookkeeping per target, sequentially (matches the reference's
+    # per-target Fuse ordering; the match phase above is still one vmap)
     for s in range(neighbors.shape[0]):
-        nb = neighbors[s]
-        ok = nb >= 0
-        state = fuse_into(state, kf_id, nb, ok)      # new KF points -> nb
-        state = fuse_into(state, nb, kf_id, ok)      # nb points -> new KF
+        state = apply_fuse(state, nb_safe[s], kp_a[s], m_a[s],
+                           jnp.where(m_a[s], pids0, -1))
+
+    # ---- direction B: the union of the targets' points into the new KF as
+    # ONE fuse (the reference collects vpFuseCandidates across all targets
+    # and calls Fuse(current, candidates) once, LocalMapping.cc:508-534) ----
+    tobs = state.kf_obs[nb_safe]                        # [T, N]
+    tmask = jnp.zeros((M + 1,), bool).at[
+        jnp.where((neighbors >= 0)[:, None] & (tobs >= 0), tobs, M)
+    ].set(True)[:M] & state.mp_valid
+    # exclude points the current KF already observes
+    own = jnp.zeros((M + 1,), bool).at[
+        jnp.where(pids0 >= 0, pids0, M)].set(True)[:M]
+    cand = tmask & ~own
+    P = min(2048, M)
+    _, sel = jax.lax.top_k(cand.astype(jnp.int32), P)
+    sel_ok = cand[sel]
+    kp_b, m_b = match_points_into(
+        state, state.mp_pos[sel], state.mp_desc[sel], state.mp_min_dist[sel],
+        state.mp_max_dist[sel], state.mp_normal[sel], sel_ok,
+        jnp.clip(kf_id, 0, None))
+    # resolve duplicate destination keypoints (two candidate points matching
+    # the same keypoint): keep the first via scatter-claim
+    claim = jnp.full((N + 1,), -1, jnp.int32).at[
+        jnp.where(m_b, kp_b, N)].set(
+        jnp.where(m_b, jnp.arange(P), -1))[:N]
+    m_b = m_b & (claim[jnp.clip(kp_b, 0, None)] == jnp.arange(P))
+    state = apply_fuse(state, jnp.clip(kf_id, 0, None), kp_b, m_b,
+                       jnp.where(m_b, sel, -1))
     # refresh attributes only for points touched by this fuse pass (observed
     # by the new KF or its neighbors) — the reference recomputes per fused
     # point (LocalMapping.cc:517-526), not over the whole map

@@ -44,10 +44,12 @@ def small_cfg():
 
 
 def main():
-    n_frames = int(os.environ.get("FRAMES", "150"))
+    n_frames = int(os.environ.get("FRAMES", "140"))
     cfg = small_cfg()
     seq = synthetic.generate(cfg.camera, n_frames=n_frames, n_points=300,
-                             trajectory="loop", seed=1)
+                             trajectory="loop", seed=1,
+                             loop_revolutions=float(
+                                 os.environ.get("REVS", "1.3")))
     slam = SLAM(cfg)
 
     # instrument: wrap _schedule_loop_detect / _check_loops
