@@ -102,12 +102,11 @@ class SLAM:
                 state = mapping.create_depth_points(state, kf_id, cfg)
             state = mapping.triangulate_new_points(state, kf_id, cfg)
             state = mapping.fuse_neighbors(state, kf_id, cfg)
-            # 5 + 10 iterations in the reference, but InsertKeyFrame sets
-            # mbAbortBA so the 10-iteration continuation is routinely cut
-            # short under real-time load (LocalMapping.cc:114-119,
-            # Optimizer.cc:666-672); 10 exact dense-Schur LM steps inline
-            # matches that effective behavior at 2/3 the cost
-            state = ba_local.local_ba(state, kf_id, cfg, n_outer=10, n_cg=25)
+            # 5 + 10 LM iterations like the reference schedule
+            # (Optimizer.cc:659-709).  Measured: trimming to 10 iterations
+            # degrades the local map enough that the keyframe policy inserts
+            # ~20% more keyframes, costing MORE total time than the BA saved.
+            state = ba_local.local_ba(state, kf_id, cfg, n_outer=15, n_cg=25)
             state = mapping.cull_points(state, kf_id, cfg)
             T_new = state.kf_pose[kf_id]
             ts = ts._replace(T=T_new, last_T=T_new, ref_kf=kf_id,
