@@ -87,13 +87,24 @@ def _select_level(score: jnp.ndarray, quota: int, border: int,
 
 
 def build_extractor(cfg: ORBConfig, height: int, width: int,
-                    use_pallas: bool | None = None):
+                    use_pallas: bool | None = None, n_images: int = 1):
     """Return a jittable `extract(img [H, W] float32) -> Features` closure
-    for a fixed image size.
+    for a fixed image size (the atlas formulation, frontend/atlas.py — op
+    count independent of level count; `n_images=2` batches stereo L/R).
 
     `use_pallas=None` auto-selects the fused Pallas FAST+NMS kernel
     (frontend/pallas_fast.py) on TPU backends and the jnp reference path
     elsewhere; both are bit-equivalent (tests/test_pallas.py)."""
+    from orb_slam2_tpu.frontend.atlas import build_atlas_extractor
+    return build_atlas_extractor(cfg, height, width, n_images=n_images,
+                                 use_pallas=use_pallas)
+
+
+def build_extractor_perlevel(cfg: ORBConfig, height: int, width: int,
+                             use_pallas: bool | None = None):
+    """The round-4 per-level formulation (one ~50-op chain per pyramid
+    level).  Kept for A/B comparison; `build_extractor` (atlas) is the
+    production path."""
     quotas = per_level_quota(cfg.n_features, cfg.n_levels, cfg.scale_factor)
     shapes = pyramid.level_shapes(height, width, cfg.n_levels, cfg.scale_factor)
     total = sum(quotas)

@@ -42,7 +42,7 @@ HALO = 4        # 3 (circle radius) + 1 (NMS)
 def _make_kernel(H: int, W: int):
     offs = [(int(dy), int(dx)) for dy, dx in CIRCLE]
 
-    def kernel(prev_ref, cur_ref, next_ref, out_ref):
+    def kernel(prev_ref, cur_ref, next_ref, out_ref, raw_ref):
         from jax.experimental import pallas as pl
 
         # assemble the [TILE_H + 2*HALO, W] working tile from the current
@@ -81,6 +81,7 @@ def _make_kernel(H: int, W: int):
         cols = jax.lax.broadcasted_iota(jnp.int32, score.shape, 1)
         inside = ((rows >= 3) & (rows < H - 3) & (cols >= 3) & (cols < W - 3))
         score = jnp.where(inside, score, 0.0)
+        raw_ref[:] = score[HALO:HALO + TILE_H, :]   # pre-NMS (subpixel fit)
 
         # 3x3 NMS (nms3x3): keep local maxima; wrap pollution stays in the
         # halo rows, which are sliced off
@@ -111,16 +112,16 @@ def _run(img, interpret: bool):
 
     spec = lambda off: pl.BlockSpec((TILE_H, W), lambda i, off=off: (i + off, 0),
                                     memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
+    out, raw = pl.pallas_call(
         _make_kernel(H, W),
         grid=(n_tiles,),
         in_specs=[spec(0), spec(1), spec(2)],
-        out_specs=pl.BlockSpec((TILE_H, W), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Hp, W), img.dtype),
+        out_specs=[pl.BlockSpec((TILE_H, W), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((Hp, W), img.dtype)] * 2,
         interpret=interpret,
     )(imgp, imgp, imgp)
-    return out[:H]
+    return out[:H], raw[:H]
 
 
 def fast_nms_pallas(img: jnp.ndarray, interpret: bool | None = None
@@ -133,6 +134,16 @@ def fast_nms_pallas(img: jnp.ndarray, interpret: bool | None = None
     `interpret=None` auto-selects: compiled on TPU backends, interpreter
     elsewhere (CPU tests).
     """
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu",)
+    return _run(img, interpret)[0]
+
+
+def fast_nms_raw_pallas(img: jnp.ndarray, interpret: bool | None = None):
+    """Like fast_nms_pallas but returns (nms_score, raw_score) — the raw
+    pre-NMS map feeds the 3x3 parabola subpixel corner refinement
+    (frontend/atlas.py; beyond reference parity, which keeps integer
+    keypoints)."""
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu",)
     return _run(img, interpret)
