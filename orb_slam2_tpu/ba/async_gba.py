@@ -88,17 +88,24 @@ class AsyncGBA:
     """
 
     def __init__(self, cfg: SLAMConfig, iters_per_chunk: int = 2,
-                 n_cg: int = 15):
+                 n_cg: int = 50):
         self.cfg = cfg
         self.iters_per_chunk = iters_per_chunk
         self.active = False
 
-        def chunk(prob, cam_pose, points):
+        # n_cg must keep each LM step near-exact (the reference solves the
+        # reduced system exactly per iteration, Optimizer.cc:650): with weak
+        # CG (15) + restarting lambda each chunk the solve stalls mid-descent
+        # in a state that "unbends" the loop correction — measured WORSE ATE
+        # than skipping GBA entirely.  lam is carried across chunks so the
+        # chunked schedule equals one long LM run.
+        def chunk(prob, cam_pose, points, lam):
             p = prob._replace(cam_pose=cam_pose, points=points)
             res = ba_solve(p, n_outer=iters_per_chunk, n_cg=n_cg,
+                           lam0=lam,
                            chi2_th_mono=cfg.ba.chi2_mono,
                            chi2_th_stereo=cfg.ba.chi2_stereo)
-            return res.cam_pose, res.points
+            return res.cam_pose, res.points, res.lam
 
         self._chunk = jax.jit(chunk)
         self._merge = jax.jit(merge_gba)
@@ -108,7 +115,8 @@ class AsyncGBA:
 
     def start(self, state: MapState, total_iters: int):
         self.prob, self.snap_kf, self.snap_mp = self._build(state)
-        self.carry = (self.prob.cam_pose, self.prob.points)
+        self.carry = (self.prob.cam_pose, self.prob.points,
+                      jnp.float32(1e-4))
         self.iters_left = total_iters
         self.active = True
 
@@ -125,7 +133,7 @@ class AsyncGBA:
         return self.iters_left <= 0
 
     def merge(self, state: MapState, ts_T, ref_kf):
-        cam_pose, points = self.carry
+        cam_pose, points = self.carry[0], self.carry[1]
         self.active = False
         return self._merge(state, ts_T, ref_kf, cam_pose, points,
                            self.snap_kf, self.snap_mp)

@@ -52,6 +52,7 @@ class BAResult(NamedTuple):
     points: jnp.ndarray
     chi2: jnp.ndarray       # [R] final per-obs chi2 (robust-unweighted)
     inlier: jnp.ndarray     # [R] final chi2 <= threshold mask
+    lam: jnp.ndarray = jnp.float32(0.0)  # final LM damping (chunked resume)
 
 
 def _residuals(prob: BAProblem, cam_pose, points):
@@ -127,6 +128,10 @@ def _chol3x3(A):
     # zero-out blocks that were all-zero (inactive points)
     nz = jnp.abs(A).sum((-1, -2)) > 1e-10
     return jnp.where(nz[..., None, None], L, 0.0)
+
+
+# relative robust-cost improvement below which the dense LM stops early
+DENSE_STOP_TOL = 1e-3
 
 
 def ba_solve_dense(prob: BAProblem, pt_obs_r: jnp.ndarray, n_per_cam: int,
@@ -270,16 +275,37 @@ def ba_solve_dense(prob: BAProblem, pt_obs_r: jnp.ndarray, n_per_cam: int,
         cam_pose = jnp.where(ok, new_cam, cam_pose)
         points = jnp.where(ok, new_points, points)
         lam = jnp.clip(jnp.where(ok, lam * 0.3, lam * 5.0), 1e-9, 1e6)
-        return (cam_pose, points, lam), new_cost
+        cost_after = jnp.where(ok, new_cost, old_cost)
+        return (cam_pose, points, lam), (cost_after, ok)
 
-    (cam_pose, points, _), _ = jax.lax.scan(
-        lm_step, (prob.cam_pose, prob.points, jnp.float32(lam0)),
-        None, length=n_outer)
+    # early-stopping LM: each iteration is an EXACT step (direct solve), so
+    # convergence is typically reached in far fewer than n_outer iterations;
+    # stop once an accepted step improves the robust cost by < 0.1%
+    # (the reference always runs its fixed 5+10 schedule, Optimizer.cc:659,
+    # but pays ~0 per extra iteration on a CPU-sized problem — here every
+    # extra exact iteration costs ~16 ms of device time)
+    def cond_fn(st):
+        _, _, _, i, _, done = st
+        return (i < n_outer) & jnp.logical_not(done)
+
+    def body_fn(st):
+        cam_pose, points, lam, i, prev_cost, _ = st
+        (cam_pose, points, lam), (cost_after, ok) = lm_step(
+            (cam_pose, points, lam), None)
+        rel = (prev_cost - cost_after) / jnp.maximum(prev_cost, 1e-9)
+        done = ok & (i >= 2) & (rel < DENSE_STOP_TOL)
+        return (cam_pose, points, lam, i + 1, cost_after, done)
+
+    cam_pose, points, _, _, _, _ = jax.lax.while_loop(
+        cond_fn, body_fn,
+        (prob.cam_pose, prob.points, jnp.asarray(lam0, jnp.float32),
+         jnp.int32(0), jnp.float32(jnp.inf), jnp.asarray(False)))
 
     chi2 = chi2_fn(cam_pose, points)
     th = jnp.where(prob.obs_ur >= 0, chi2_th_stereo, chi2_th_mono)
     inlier = (chi2 <= th) & (prob.obs_w > 0)
-    return BAResult(cam_pose=cam_pose, points=points, chi2=chi2, inlier=inlier)
+    return BAResult(cam_pose=cam_pose, points=points, chi2=chi2,
+                    inlier=inlier)
 
 
 def ba_solve(prob: BAProblem, n_outer: int = 10, n_cg: int = 40,
@@ -419,11 +445,13 @@ def ba_solve(prob: BAProblem, n_outer: int = 10, n_cg: int = 40,
         lam = jnp.clip(jnp.where(ok, lam * 0.3, lam * 5.0), 1e-9, 1e6)
         return (cam_pose, points, lam), new_cost
 
-    (cam_pose, points, _), _ = jax.lax.scan(
-        lm_step, (prob.cam_pose, prob.points, jnp.float32(lam0)),
+    (cam_pose, points, lam), _ = jax.lax.scan(
+        lm_step, (prob.cam_pose, prob.points,
+                  jnp.asarray(lam0, jnp.float32)),
         None, length=n_outer)
 
     chi2 = chi2_fn(cam_pose, points)
     th = jnp.where(prob.obs_ur >= 0, chi2_th_stereo, chi2_th_mono)
     inlier = (chi2 <= th) & (prob.obs_w > 0)
-    return BAResult(cam_pose=cam_pose, points=points, chi2=chi2, inlier=inlier)
+    return BAResult(cam_pose=cam_pose, points=points, chi2=chi2,
+                    inlier=inlier, lam=lam)

@@ -60,7 +60,7 @@ def distributed_ba_solve(prob: BAProblem, mesh: Mesh, n_outer: int = 10,
         obs_cam=obs_spec, obs_pid=obs_spec, obs_uv=obs_spec,
         obs_ur=obs_spec, obs_w=obs_spec, K=rep, bf=rep)
     out_specs = BAResult(cam_pose=rep, points=rep, chi2=obs_spec,
-                         inlier=obs_spec)
+                         inlier=obs_spec, lam=rep)
 
     @functools.partial(jax.shard_map, mesh=mesh,
                        in_specs=(in_specs,), out_specs=out_specs,
@@ -132,7 +132,8 @@ def distributed_ba_solve_sharded(prob: BAProblem, mesh: Mesh, D: int,
         cam_pose=rep, cam_var=rep, points=sh, pt_var=sh,
         obs_cam=sh, obs_pid=sh, obs_uv=sh, obs_ur=sh, obs_w=sh,
         K=rep, bf=rep)
-    out_specs = BAResult(cam_pose=rep, points=sh, chi2=sh, inlier=sh)
+    out_specs = BAResult(cam_pose=rep, points=sh, chi2=sh, inlier=sh,
+                         lam=rep)
 
     @functools.partial(jax.shard_map, mesh=mesh, in_specs=(in_specs,),
                        out_specs=out_specs, check_vma=False)
