@@ -127,12 +127,18 @@ def build_local_problem(state: MapState, kf_id, cfg: SLAMConfig):
 
 
 def local_ba(state: MapState, kf_id, cfg: SLAMConfig,
-             n_outer: int = 10, n_cg: int = 30) -> MapState:
+             n_outer: int = 10, n_cg: int = 30, lam0=1e-4,
+             return_lam: bool = False):
     """Run local BA and write results + outlier removal back into the map.
-    (`n_cg` kept for API compatibility; the dense solver does exact steps.)"""
+    (`n_cg` kept for API compatibility; the dense solver does exact steps.)
+
+    With `return_lam=True` returns (state, final LM damping) so chunked
+    schedules (pipeline/system.py mapping stages) can resume where the
+    previous chunk stopped."""
     prob, pt_obs_r, cams, psel, psel_ok = build_local_problem(state, kf_id, cfg)
     N = state.kf_obs.shape[1]
     res = ba_solve_dense(prob, pt_obs_r, n_per_cam=N, n_outer=n_outer,
+                         lam0=lam0,
                          chi2_th_mono=cfg.ba.chi2_mono,
                          chi2_th_stereo=cfg.ba.chi2_stereo)
 
@@ -159,6 +165,8 @@ def local_ba(state: MapState, kf_id, cfg: SLAMConfig,
     removal = jnp.zeros((K_ + 1, N), bool).at[
         jnp.where(cams >= 0, csafe, K_)].max(bad)[:K_]
     state = ops.remove_obs_global(state, removal)
+    if return_lam:
+        return state, res.lam
     return state
 
 

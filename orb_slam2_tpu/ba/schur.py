@@ -296,7 +296,7 @@ def ba_solve_dense(prob: BAProblem, pt_obs_r: jnp.ndarray, n_per_cam: int,
         done = ok & (i >= 2) & (rel < DENSE_STOP_TOL)
         return (cam_pose, points, lam, i + 1, cost_after, done)
 
-    cam_pose, points, _, _, _, _ = jax.lax.while_loop(
+    cam_pose, points, lam, _, _, _ = jax.lax.while_loop(
         cond_fn, body_fn,
         (prob.cam_pose, prob.points, jnp.asarray(lam0, jnp.float32),
          jnp.int32(0), jnp.float32(jnp.inf), jnp.asarray(False)))
@@ -305,7 +305,7 @@ def ba_solve_dense(prob: BAProblem, pt_obs_r: jnp.ndarray, n_per_cam: int,
     th = jnp.where(prob.obs_ur >= 0, chi2_th_stereo, chi2_th_mono)
     inlier = (chi2 <= th) & (prob.obs_w > 0)
     return BAResult(cam_pose=cam_pose, points=points, chi2=chi2,
-                    inlier=inlier)
+                    inlier=inlier, lam=lam)
 
 
 def ba_solve(prob: BAProblem, n_outer: int = 10, n_cg: int = 40,

@@ -143,14 +143,19 @@ def build_stereo_frame_fn(cfg: SLAMConfig):
     disparity with a +-5 sliding SAD window + parabola subpixel fit and cut
     outliers at 1.5*1.4*median SAD (reference Frame::ComputeStereoMatches,
     Frame.cc:466-640)."""
-    extract = build_extractor(cfg.orb, cfg.camera.height, cfg.camera.width)
+    # L/R extraction batched into ONE program (the reference runs two
+    # std::threads, Frame.cc:78-81; the atlas extractor's op count is
+    # independent of the image count, so the pair costs ~1.5x one image)
+    extract2 = build_extractor(cfg.orb, cfg.camera.height, cfg.camera.width,
+                               n_images=2)
     K = camera.intrinsics(cfg.camera)
     bf = cfg.camera.bf
     scale_factors = jnp.asarray(cfg.orb.scale_factors, jnp.float32)
 
     def fn(img_l, img_r, frame_id, timestamp):
-        fl = extract(img_l)
-        fr = extract(img_r)
+        both = extract2(jnp.stack([img_l, img_r]))
+        fl = jax.tree.map(lambda a: a[0], both)
+        fr = jax.tree.map(lambda a: a[1], both)
         # row band: |vL - vR| <= 2 * scale of left octave (Frame.cc:475-493)
         r_l = scale_factors[fl.octave]
         dv = jnp.abs(fl.uv[:, None, 1] - fr.uv[None, :, 1])

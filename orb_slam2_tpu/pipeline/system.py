@@ -96,27 +96,76 @@ class SLAM:
 
         from orb_slam2_tpu.ba import local as ba_local
 
-        def keyframe_step(state, ts, frame, cur_pids):
+        # --- staged keyframe integration: the deterministic equivalent of
+        # the reference's concurrent LocalMapping thread (LocalMapping.cc:
+        # 47-112).  Insertion is cheap and inline; triangulation, fusion,
+        # the 15-iteration local BA (5+10 schedule, Optimizer.cc:659-709)
+        # and culling advance ONE stage per subsequent tracked frame, so no
+        # single frame carries the whole ~350 ms integration.  The BA runs
+        # as 3 chunks of 5 exact LM iterations with the damping carried in
+        # ts.ba_lam (identical trajectory to one 15-iteration run, modulo
+        # the map growing between chunks — exactly the reference's
+        # interruptible-BA concurrency). ---
+        BA_CHUNKS = 3
+        BA_ITERS = 5
+        N_STAGES = 2 + BA_CHUNKS + 1   # tri, fuse, BA x3, culls
+
+        def insert_kf(state, ts, frame, cur_pids):
             state, kf_id = ops.insert_keyframe(state, frame, ts.T, cur_pids)
             if cfg.sensor != MONOCULAR:
                 state = mapping.create_depth_points(state, kf_id, cfg)
-            state = mapping.triangulate_new_points(state, kf_id, cfg)
-            state = mapping.fuse_neighbors(state, kf_id, cfg)
-            # 5 + 10 LM iterations like the reference schedule
-            # (Optimizer.cc:659-709).  Measured: trimming to 10 iterations
-            # degrades the local map enough that the keyframe policy inserts
-            # ~20% more keyframes, costing MORE total time than the BA saved.
-            state = ba_local.local_ba(state, kf_id, cfg, n_outer=15, n_cg=25)
-            state = mapping.cull_points(state, kf_id, cfg)
-            T_new = state.kf_pose[kf_id]
-            ts = ts._replace(T=T_new, last_T=T_new, ref_kf=kf_id,
-                             last_kf_frame_id=frame.frame_id)
+            ts = ts._replace(ref_kf=kf_id,
+                             last_kf_frame_id=frame.frame_id,
+                             map_kf=kf_id, map_stage=jnp.asarray(0, jnp.int32),
+                             ba_lam=jnp.asarray(1e-4, jnp.float32))
             ts = record_traj(state, ts, frame, jnp.asarray(True))
-            # redundant-keyframe culling (LocalMapping.cc:84, :632-696)
-            state, ts = mapping.cull_redundant_keyframes(state, ts, kf_id, cfg)
+            return state, ts
+
+        def mapping_stage(state, ts):
+            """Advance the pending keyframe's integration by one stage."""
+            k = jnp.clip(ts.map_kf, 0, None)
+
+            def s_tri(op):
+                st, t = op
+                return mapping.triangulate_new_points(st, k, cfg), t
+
+            def s_fuse(op):
+                st, t = op
+                return mapping.fuse_neighbors(st, k, cfg), t
+
+            def s_ba(op):
+                st, t = op
+                st, lam = ba_local.local_ba(st, k, cfg, n_outer=BA_ITERS,
+                                            lam0=t.ba_lam, return_lam=True)
+                return st, t._replace(ba_lam=lam)
+
+            def s_cull(op):
+                st, t = op
+                st = mapping.cull_points(st, k, cfg)
+                st, t = mapping.cull_redundant_keyframes(st, t, k, cfg)
+                return st, t
+
+            branches = [s_tri, s_fuse] + [s_ba] * BA_CHUNKS + [s_cull]
+            state, ts = jax.lax.switch(
+                jnp.clip(ts.map_stage, 0, N_STAGES - 1), branches,
+                (state, ts))
+            stage = ts.map_stage + 1
+            done = stage >= N_STAGES
+            ts = ts._replace(
+                map_stage=jnp.where(done, 0, stage),
+                map_kf=jnp.where(done, -1, ts.map_kf))
+            return state, ts
+
+        def keyframe_step(state, ts, frame, cur_pids):
+            """Synchronous insert + full integration (bench stage probe and
+            host-side callers; the per-frame path uses the staged version)."""
+            state, ts = insert_kf(state, ts, frame, cur_pids)
+            for _ in range(N_STAGES):
+                state, ts = mapping_stage(state, ts)
             return state, ts
 
         self._keyframe_step = jax.jit(keyframe_step)
+        self._mapping_stage = jax.jit(mapping_stage)
         self._global_ba = jax.jit(
             lambda st: ba_local.global_ba(st, cfg,
                                           n_outer=cfg.ba.global_ba_iters,
@@ -154,17 +203,28 @@ class SLAM:
             frame = raw_frame_fn(*imgs, frame_id, timestamp)
             state, ts, cur_pids, hud = raw_track_step(state, ts, frame,
                                                       loc_only)
-            need = (hud[HUD_NEED_KF] > 0) & jnp.logical_not(loc_only)
+            # keyframe policy vs the mapping pipeline (reference
+            # AcceptKeyFrames/InterruptBA, Tracking.cc:999,1047): while the
+            # previous KF's triangulation/fusion stages are pending, defer;
+            # once only BA/cull stages remain, a new insertion aborts them
+            # (LocalMapping::InsertKeyFrame sets mbAbortBA,
+            # LocalMapping.cc:114-119).
+            busy_early = (ts.map_kf >= 0) & (ts.map_stage <= 1)
+            need = (hud[HUD_NEED_KF] > 0) & jnp.logical_not(loc_only) & \
+                jnp.logical_not(busy_early)
 
             def do_kf(op):
                 st, t = op
-                st, t = keyframe_step(st, t, frame, cur_pids)
+                st, t = insert_kf(st, t, frame, cur_pids)
                 if transform is not None:
                     bow, _, _ = transform(frame.desc, frame.valid)
                     st = st._replace(kf_bow=st.kf_bow.at[t.ref_kf].set(bow))
                 return st, t
 
             state, ts = jax.lax.cond(need, do_kf, lambda op: op, (state, ts))
+            state, ts = jax.lax.cond(
+                ts.map_kf >= 0, lambda op: mapping_stage(*op),
+                lambda op: op, (state, ts))
             hud = jnp.concatenate([
                 hud.at[HUD_NEED_KF].set(need.astype(jnp.int32)),
                 jnp.reshape(ts.ref_kf, (1,))])
@@ -292,6 +352,11 @@ class SLAM:
         if self._super_step is not None and self._batch:
             self._dispatch_batch()
         self._drain(0)
+        # complete any staged keyframe integration (pending local-BA chunks)
+        for _ in range(16):
+            if int(self.ts.map_kf) < 0:
+                break
+            self.state, self.ts = self._mapping_stage(self.state, self.ts)
         self._step_gba(to_completion=True)
         jax.block_until_ready(self.ts.T)
 

@@ -56,6 +56,11 @@ class TrackState(NamedTuple):
     init_kp_valid: jnp.ndarray  # [N]
     init_frame_id: jnp.ndarray  # i32
     init_timestamp: jnp.ndarray  # f32
+    # staged keyframe integration (the deterministic LocalMapping thread,
+    # LocalMapping.cc:47-112: one stage advances per tracked frame)
+    map_kf: jnp.ndarray       # i32 keyframe being integrated (-1 = idle)
+    map_stage: jnp.ndarray    # i32 next stage to run
+    ba_lam: jnp.ndarray       # f32 LM damping carried across BA chunks
     # device-side trajectory log (downloaded once at export time; avoids the
     # per-frame device->host sync that dominates through the TPU tunnel)
     traj_T: jnp.ndarray       # [F, 7] per-frame Tcw
@@ -91,6 +96,9 @@ def empty_track_state(cfg: SLAMConfig) -> TrackState:
         init_kp_valid=jnp.zeros((N,), bool),
         init_frame_id=jnp.asarray(-1, jnp.int32),
         init_timestamp=jnp.asarray(0.0, jnp.float32),
+        map_kf=jnp.asarray(-1, jnp.int32),
+        map_stage=jnp.asarray(0, jnp.int32),
+        ba_lam=jnp.asarray(1e-4, jnp.float32),
         traj_T=jnp.zeros((cfg.cap.max_frames, 7), jnp.float32).at[:, 0].set(1.0),
         traj_rel=jnp.zeros((cfg.cap.max_frames, 7), jnp.float32).at[:, 0].set(1.0),
         traj_ref=jnp.full((cfg.cap.max_frames,), -1, jnp.int32),
