@@ -53,7 +53,13 @@ def merge_gba(state: MapState, ts_T, ref_kf, gba_pose, gba_points,
         upd = (~in_snap) & state.kf_valid & (par >= 0)
         return jnp.where(upd[:, None], prop, p)
 
-    pose = jax.lax.fori_loop(0, 8, hop, pose)
+    # worst-case chain depth = every keyframe created during the solve
+    # parenting the previous one; bound by the non-snapshot count rather
+    # than a fixed constant (ADVICE r4: 8 hops could leave deep descendants
+    # uncorrected).  K_ is a static bound; the loop is on-device and each
+    # hop is cheap, so cap at 32 which exceeds any realistic insertion rate
+    # during a chunked GBA (chunks run every frame).
+    pose = jax.lax.fori_loop(0, min(32, K_), hop, pose)
 
     # points: snapshot points take GBA positions; newer points are corrected
     # via their first observing keyframe r: p' = Twc_new(r) * (Tcw_old(r) p)

@@ -103,13 +103,10 @@ def add_obs_multi(state: MapState, kf_ids: jnp.ndarray, kp_idx: jnp.ndarray,
       * each point id appears at most once (one new observation per point
         per call) — the mirror table allocates a single free slot per point.
 
-    NOTE: unit-equivalent to a sequential add_obs sweep, but NOT currently
-    used by triangulation: registering every neighbor-side observation
-    (instead of the sequential path, whose duplicate inactive-row writes
-    drop a fraction of them) measurably increases covisibility density and
-    tips the redundancy-based keyframe culling into over-culling on small
-    synthetic maps (mono ATE 0.018 -> 0.035).  Revisit together with the
-    KeyFrameCulling thresholds.
+    Used by triangulation to register all neighbor-side observations in one
+    scatter (r5; the earlier over-culling interaction this caused in r4 was
+    resolved by the subpixel frontend + GBA convergence fixes — e2e gates
+    now pass with the denser covisibility).
     """
     K_, N = state.kf_obs.shape
     M, D = state.mp_obs_kf.shape

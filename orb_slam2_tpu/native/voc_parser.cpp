@@ -94,9 +94,20 @@ inline const char* parse_float(const char* p, const char* end, float* out) {
     }
   }
   if (p < end && (*p == 'e' || *p == 'E')) {
-    char* q;
-    *out = strtof(start, &q);
-    return q;
+    // strtof needs a NUL-terminated buffer; the mmap'd region is not —
+    // copy the token (bounded by `end`) into a stack buffer first, or a
+    // final-token read could run past the mapping (ADVICE r4).
+    const char* q = p + 1;
+    if (q < end && (*q == '-' || *q == '+')) ++q;
+    while (q < end && *q >= '0' && *q <= '9') ++q;
+    char buf[64];
+    size_t n = static_cast<size_t>(q - start);
+    if (n >= sizeof(buf)) n = sizeof(buf) - 1;
+    memcpy(buf, start, n);
+    buf[n] = '\0';
+    char* bq;
+    *out = strtof(buf, &bq);
+    return start + (bq - buf);
   }
   *out = static_cast<float>(neg ? -v : v);
   return p;

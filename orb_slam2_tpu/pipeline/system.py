@@ -106,9 +106,10 @@ class SLAM:
         # ts.ba_lam (identical trajectory to one 15-iteration run, modulo
         # the map growing between chunks — exactly the reference's
         # interruptible-BA concurrency). ---
-        BA_CHUNKS = 3
         BA_ITERS = 5
-        N_STAGES = 2 + BA_CHUNKS + 1   # tri, fuse, BA x3, culls
+        total_ba = cfg.ba.local_ba_iters1 + cfg.ba.local_ba_iters2
+        BA_CHUNKS = max(-(-total_ba // BA_ITERS), 1)
+        N_STAGES = 2 + BA_CHUNKS + 1   # tri, fuse, BA chunks, culls
 
         def insert_kf(state, ts, frame, cur_pids):
             state, kf_id = ops.insert_keyframe(state, frame, ts.T, cur_pids)

@@ -214,3 +214,34 @@ def test_loop_closure_fires_and_helps():
     assert closed.last_loop_kf > 0, "loop closure never fired"
     assert ate_closed <= ate_open * 1.05, \
         f"loop correction hurt: {ate_closed:.4f} vs open {ate_open:.4f}"
+
+
+def test_stereo_determinism(mono_seq):
+    """Stereo determinism e2e (VERDICT r4 item 9, completing the SURVEY §4d
+    matrix): two identical stereo runs produce bit-identical trajectories."""
+    _, seq = mono_seq
+    cfg = small_cfg(STEREO)
+    right = synthetic.generate(
+        cfg.camera, n_frames=len(seq.images), n_points=4,
+        trajectory="xyz", seed=0,
+        poses_override=synthetic.right_poses(seq.poses_twc,
+                                             cfg.camera.baseline)).images
+    a = _fresh(cfg)
+    run_seq(a, seq, right=right, stop=30)
+    b = _fresh(cfg)
+    run_seq(b, seq, right=right, stop=30)
+    pa, pb = a.poses_twc(), b.poses_twc()
+    assert pa.shape == pb.shape
+    assert np.array_equal(pa, pb)
+
+
+def test_no_false_loop_at_reduced_features(mono_seq):
+    """Guard the loop-gate scaling at reduced feature budgets (VERDICT r4
+    weak #5: loopclosing scales the >=20/>=20/>=40 acceptance gates by
+    n_features/1000 with a 0.5 floor — a revisit-free sequence at a ~350-500
+    feature budget must produce ZERO accepted loop closures)."""
+    cfg, seq = mono_seq          # 500-feature budget, xyz (no revisit)
+    slam = _fresh(cfg)           # loop closing enabled by default
+    run_seq(slam, seq)
+    assert slam.last_loop_kf < 0, \
+        f"false loop closure accepted at kf {slam.last_loop_kf}"
