@@ -245,3 +245,24 @@ def test_no_false_loop_at_reduced_features(mono_seq):
     run_seq(slam, seq)
     assert slam.last_loop_kf < 0, \
         f"false loop closure accepted at kf {slam.last_loop_kf}"
+
+
+def test_multi_revolution_loop_accuracy():
+    """Harder loop benchmark (VERDICT r4 item 10): 2.3 revolutions over 200
+    frames accumulate ~0.32 ATE open-loop; closure + essential graph +
+    chunked GBA must cut it by >=35% (measured 0.17, i.e. ~48% — the gate
+    leaves compiler/backend margin).  Guards the whole correction stack at
+    a drift magnitude where a weak Sim3 or under-converged GBA would fail."""
+    cfg = small_cfg(MONOCULAR)
+    seq = synthetic.generate(cfg.camera, n_frames=200, n_points=300,
+                             trajectory="loop", seed=3, loop_revolutions=2.3)
+    open_loop = _fresh(cfg, enable_loop_closing=False)
+    run_seq(open_loop, seq)
+    ate_open, _ = ate_of(open_loop, seq, align_scale=True)
+    closed = _fresh(cfg)
+    run_seq(closed, seq)
+    ate_closed, n = ate_of(closed, seq, align_scale=True)
+    assert closed.last_loop_kf > 0, "loop closure never fired"
+    assert n >= 0.75 * len(seq.images), f"tracked {n}"
+    assert ate_closed <= 0.65 * ate_open, \
+        f"closed {ate_closed:.4f} vs open {ate_open:.4f}"
