@@ -86,8 +86,17 @@ def pose_optimize(T0, pw, obs_uv, obs_ur, inv_sigma2, valid, is_stereo,
         return c
 
     def lm_round(T, active, use_huber):
-        def body(i, carry):
-            T, lam, _ = carry
+        # early-terminating LM (reference runs fixed 10 iterations per
+        # round, Optimizer.cc:374-442, but each iteration here is an exact
+        # 6x6 solve — converged rounds stop after ~3, saving most of the
+        # per-frame pose-opt device time; extra iterations past convergence
+        # are no-ops, so inlier decisions are unchanged)
+        def cond(carry):
+            _, _, _, i, done = carry
+            return (i < cfg.pose_opt_iters) & jnp.logical_not(done)
+
+        def body(carry):
+            T, lam, prev_total, i, _ = carry
             e, J = _residuals_jac(T, pw, obs_uv, obs_ur, K, bf, is_stereo)
             chi2 = jnp.sum(e * e, -1) * inv_sigma2
             w = jnp.where(use_huber, _huber_w(chi2, delta2), 1.0)
@@ -99,25 +108,29 @@ def pose_optimize(T0, pw, obs_uv, obs_ur, inv_sigma2, valid, is_stereo,
             # GN step solves H dx = -g
             total0 = jnp.sum(chi2 * w * active)
 
-            def try_step(lam):
-                Hl = H + lam * jnp.eye(6)
-                dx = jnp.linalg.solve(Hl, -g)
-                T_new = lie.se3_retract(T, dx)
-                c_new = chi2_of(T_new, active)
-                w_new = jnp.where(use_huber, _huber_w(c_new, delta2), 1.0)
-                total1 = jnp.sum(c_new * w_new * active)
-                return T_new, total1
+            Hl = H + lam * jnp.eye(6)
+            dx = jnp.linalg.solve(Hl, -g)
+            T_new = lie.se3_retract(T, dx)
+            c_new = chi2_of(T_new, active)
+            w_new = jnp.where(use_huber, _huber_w(c_new, delta2), 1.0)
+            total1 = jnp.sum(c_new * w_new * active)
 
-            T_new, total1 = try_step(lam)
             ok = (total1 < total0) & jnp.all(jnp.isfinite(T_new))
             T = jnp.where(ok, T_new, T)
             lam = jnp.where(ok, lam * 0.5, lam * cfg.lm_lambda_factor)
             lam = jnp.clip(lam, 1e-10, 1e6)
-            return (T, lam, total1)
+            rel = (total0 - total1) / jnp.maximum(total0, 1e-9)
+            # converged = accepted step, negligible cost change AND a tiny
+            # update (a loose cost-only test measurably inflates drift on
+            # long sequences: 200-frame loop ATE 0.17 -> 0.30)
+            done = ok & (rel < 1e-5) & (jnp.sum(dx * dx) < 1e-10)
+            total = jnp.where(ok, total1, total0)
+            return (T, lam, total, i + 1, done)
 
-        T, _, total = jax.lax.fori_loop(
-            0, cfg.pose_opt_iters, body,
-            (T, jnp.float32(cfg.lm_lambda_init), jnp.float32(0.0)))
+        T, _, total, _, _ = jax.lax.while_loop(
+            cond, body,
+            (T, jnp.float32(cfg.lm_lambda_init), jnp.float32(0.0),
+             jnp.int32(0), jnp.asarray(False)))
         return T, total
 
     active = valid
