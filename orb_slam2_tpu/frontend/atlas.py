@@ -82,11 +82,17 @@ def _ceil_to(v: int, m: int) -> int:
 
 
 def build_atlas_extractor(cfg: ORBConfig, height: int, width: int,
-                          n_images: int = 1, use_pallas: bool | None = None):
+                          n_images: int = 1, use_pallas: bool | None = None,
+                          return_atlas: bool = False):
     """Return a jittable `extract(img)` closure.
 
     n_images == 1: img [H, W]            -> Features (cap slots)
     n_images >= 2: img [n_images, H, W]  -> Features batched [n_images, cap]
+
+    With `return_atlas=True` also returns the raw padded level atlas
+    [n_images * L, Hp, Wp] (zero beyond each level's extent) — the stereo
+    SAD refinement samples windows from it at the keypoint's own pyramid
+    level, like the reference's mvImagePyramid (Frame.cc:552-608).
     """
     L = cfg.n_levels
     quotas = per_level_quota(cfg.n_features, L, cfg.scale_factor)
@@ -313,6 +319,8 @@ def build_atlas_extractor(cfg: ORBConfig, height: int, width: int,
             valid=kv)
         if B == 1:
             feats = jax.tree.map(lambda a: a[0], feats)
+        if return_atlas:
+            return feats, atlas
         return feats
 
     return extract

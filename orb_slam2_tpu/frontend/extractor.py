@@ -87,7 +87,8 @@ def _select_level(score: jnp.ndarray, quota: int, border: int,
 
 
 def build_extractor(cfg: ORBConfig, height: int, width: int,
-                    use_pallas: bool | None = None, n_images: int = 1):
+                    use_pallas: bool | None = None, n_images: int = 1,
+                    **kwargs):
     """Return a jittable `extract(img [H, W] float32) -> Features` closure
     for a fixed image size (the atlas formulation, frontend/atlas.py — op
     count independent of level count; `n_images=2` batches stereo L/R).
@@ -97,7 +98,7 @@ def build_extractor(cfg: ORBConfig, height: int, width: int,
     elsewhere; both are bit-equivalent (tests/test_pallas.py)."""
     from orb_slam2_tpu.frontend.atlas import build_atlas_extractor
     return build_atlas_extractor(cfg, height, width, n_images=n_images,
-                                 use_pallas=use_pallas)
+                                 use_pallas=use_pallas, **kwargs)
 
 
 def build_extractor_perlevel(cfg: ORBConfig, height: int, width: int,

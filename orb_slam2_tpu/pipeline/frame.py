@@ -89,51 +89,66 @@ def build_rgbd_frame_fn(cfg: SLAMConfig):
     return fn
 
 
-def _sad_subpixel(img_l, img_r, uv_l, ur0, octave, matched, scale_factors,
-                  w: int = 5, slide: int = 5):
-    """Sliding-window SAD disparity refinement + parabola subpixel fit
-    (reference Frame::ComputeStereoMatches, Frame.cc:552-608).
+def _sad_subpixel_atlas(atlas, lvl_h, lvl_w, n_levels, uv_l, ur0, octave,
+                        matched, scale_factors, w: int = 5, slide: int = 5):
+    """Sliding SAD + parabola subpixel on the keypoint's own pyramid level
+    (reference Frame::ComputeStereoMatches, Frame.cc:552-608: windows come
+    from mvImagePyramid[kpL.octave] at integer level coords).
 
-    The reference runs the (2w+1)^2 SAD at the keypoint's pyramid level; here
-    the windows are sampled from the level-0 images with the window *stride*
-    scaled by the keypoint's level (same spatial support, no per-level image
-    plumbing).  Returns (ur_refined [N], sad_best [N]).
+    atlas: [2*L, Hp, Wp] raw padded level stack (left images then right).
+    ONE [11, 11] slice gather fetches the left window and ONE [11, 21]
+    slice gather the right candidate band; the 11 displacement windows are
+    then static slices of the band — the per-displacement gather loop of
+    the level-0 formulation cost ~12 ms/frame.
+    Returns (ur_refined level-0 coords [N], sad_best [N]).
     """
-    H, W = img_l.shape
+    G, Hp, Wp = atlas.shape
     N = uv_l.shape[0]
-    s = scale_factors[octave]                      # [N]
-    d = jnp.arange(-w, w + 1, dtype=jnp.float32)
-    # [N, 11, 11] sample offsets scaled per keypoint
-    oy = d[None, :, None] * s[:, None, None]
-    ox = d[None, None, :] * s[:, None, None]
+    L = n_levels
+    s = scale_factors[octave]                       # [N]
+    xl = jnp.round(uv_l[:, 0] / s).astype(jnp.int32)
+    yl = jnp.round(uv_l[:, 1] / s).astype(jnp.int32)
+    xr_i = jnp.round(ur0 / s).astype(jnp.int32)
+    hs = lvl_h[octave]
+    ws = lvl_w[octave]
+    yl = jnp.clip(yl, w, hs - w - 1)
+    xl = jnp.clip(xl, w, ws - w - 1)
+    xr_i = jnp.clip(xr_i, w + slide, ws - w - slide - 1)
 
-    def window(img, cx, cy):
-        ys = jnp.clip(jnp.round(cy[:, None, None] + oy).astype(jnp.int32),
-                      0, H - 1)
-        xs = jnp.clip(jnp.round(cx[:, None, None] + ox).astype(jnp.int32),
-                      0, W - 1)
-        return img[ys, xs]
+    flat = atlas.reshape(G * Hp, Wp)
+    W2 = 2 * w + 1
+    B2 = W2 + 2 * slide
 
-    wl = window(img_l, uv_l[:, 0], uv_l[:, 1])
-    wl = wl - wl[:, w:w + 1, w:w + 1]              # center-normalize (:557)
+    def slice_gather(g_idx, y0, x0, rows, cols):
+        starts = jnp.stack([g_idx * Hp + y0, x0], -1)
+        return jax.lax.gather(
+            flat, starts,
+            jax.lax.GatherDimensionNumbers(
+                offset_dims=(1, 2), collapsed_slice_dims=(),
+                start_index_map=(0, 1)),
+            slice_sizes=(rows, cols))
 
-    def sad_at(r):
-        wr = window(img_r, ur0 + r * s, uv_l[:, 1])
+    wl = slice_gather(octave, yl - w, xl - w, W2, W2)          # [N, 11, 11]
+    bandr = slice_gather(octave + L, yl - w, xr_i - w - slide,
+                         W2, B2)                               # [N, 11, 21]
+    wl = wl - wl[:, w:w + 1, w:w + 1]               # center-normalize (:557)
+    sads = []
+    for r in range(2 * slide + 1):
+        wr = bandr[:, :, r:r + W2]
         wr = wr - wr[:, w:w + 1, w:w + 1]
-        return jnp.sum(jnp.abs(wl - wr), axis=(1, 2))
-
-    sads = jnp.stack([sad_at(float(r)) for r in range(-slide, slide + 1)], 1)
-    best = jnp.argmin(sads, axis=1)                # [N] in [0, 2*slide]
+        sads.append(jnp.sum(jnp.abs(wl - wr), axis=(1, 2)))
+    sads = jnp.stack(sads, 1)                       # [N, 11]
+    best = jnp.argmin(sads, axis=1)
     interior = (best > 0) & (best < 2 * slide)
     bi = jnp.clip(best, 1, 2 * slide - 1)
-    sm1 = sads[jnp.arange(N), bi - 1]
-    s0 = sads[jnp.arange(N), bi]
-    sp1 = sads[jnp.arange(N), bi + 1]
+    idx = jnp.arange(N)
+    sm1, s0, sp1 = sads[idx, bi - 1], sads[idx, bi], sads[idx, bi + 1]
     denom = sm1 - 2.0 * s0 + sp1
     delta = 0.5 * (sm1 - sp1) / jnp.where(jnp.abs(denom) > 1e-6, denom, 1e-6)
     delta = jnp.clip(delta, -1.0, 1.0)
-    off = (bi.astype(jnp.float32) - slide + delta) * s
-    ur_ref = jnp.where(matched & interior, ur0 + off, ur0)
+    xr_ref = (xr_i.astype(jnp.float32) +
+              (bi.astype(jnp.float32) - slide) + delta) * s
+    ur_ref = jnp.where(matched & interior, xr_ref, ur0)
     return ur_ref, jnp.where(matched, s0, jnp.inf)
 
 
@@ -147,13 +162,18 @@ def build_stereo_frame_fn(cfg: SLAMConfig):
     # std::threads, Frame.cc:78-81; the atlas extractor's op count is
     # independent of the image count, so the pair costs ~1.5x one image)
     extract2 = build_extractor(cfg.orb, cfg.camera.height, cfg.camera.width,
-                               n_images=2)
+                               n_images=2, return_atlas=True)
     K = camera.intrinsics(cfg.camera)
     bf = cfg.camera.bf
     scale_factors = jnp.asarray(cfg.orb.scale_factors, jnp.float32)
+    from orb_slam2_tpu.frontend import pyramid as _pyr
+    shapes = _pyr.level_shapes(cfg.camera.height, cfg.camera.width,
+                               cfg.orb.n_levels, cfg.orb.scale_factor)
+    lvl_h = jnp.asarray([s[0] for s in shapes], jnp.int32)
+    lvl_w = jnp.asarray([s[1] for s in shapes], jnp.int32)
 
     def fn(img_l, img_r, frame_id, timestamp):
-        both = extract2(jnp.stack([img_l, img_r]))
+        both, atlas = extract2(jnp.stack([img_l, img_r]))
         fl = jax.tree.map(lambda a: a[0], both)
         fr = jax.tree.map(lambda a: a[1], both)
         # row band: |vL - vR| <= 2 * scale of left octave (Frame.cc:475-493)
@@ -175,8 +195,9 @@ def build_stereo_frame_fn(cfg: SLAMConfig):
         matched = res.idx >= 0
         ur0 = jnp.where(matched, fr.uv[jnp.clip(res.idx, 0, None), 0], -1.0)
 
-        ur, sad = _sad_subpixel(img_l, img_r, fl.uv, ur0, fl.octave, matched,
-                                scale_factors)
+        ur, sad = _sad_subpixel_atlas(atlas, lvl_h, lvl_w, cfg.orb.n_levels,
+                                      fl.uv, ur0, fl.octave, matched,
+                                      scale_factors)
         # median SAD outlier cut (Frame.cc:626-639)
         n_m = jnp.maximum(jnp.sum(matched.astype(jnp.int32)), 1)
         sad_sorted = jnp.sort(jnp.where(matched, sad, jnp.inf))
