@@ -95,13 +95,12 @@ def create_mono_map(state: MapState, ts: TrackState, frame: Frame,
         init_valid_frame=jnp.asarray(False))
     # log the first init frame's pose (identity at KF0) into the trajectory
     # so exports start at the true sequence start (System.cc:361 includes it)
-    i0 = jnp.clip(ts.init_frame_id, 0, ts.traj_T.shape[0] - 1)
-    ts = ts._replace(
-        traj_T=ts.traj_T.at[i0].set(lie.se3_identity()),
-        traj_rel=ts.traj_rel.at[i0].set(lie.se3_identity()),
-        traj_ref=ts.traj_ref.at[i0].set(k0),
-        traj_ok=ts.traj_ok.at[i0].set(True),
-        traj_t=ts.traj_t.at[i0].set(ts.init_timestamp))
+    i0 = jnp.clip(ts.init_frame_id, 0, ts.traj.shape[0] - 1)
+    row0 = jnp.concatenate([
+        lie.se3_identity(), lie.se3_identity(),
+        jnp.stack([k0.astype(jnp.float32), jnp.float32(1.0),
+                   ts.init_timestamp.astype(jnp.float32)])])
+    ts = ts._replace(traj=ts.traj.at[i0].set(row0))
     return state, ts, res.ok
 
 

@@ -260,11 +260,13 @@ def cull_keyframe(state: MapState, ts, c, cfg: SLAMConfig):
     state = state._replace(
         kf_parent=jnp.where(children, new_par, state.kf_parent))
     # retarget trajectory records: T_frame = rel o T_c = (rel o rel_cp) o T_p
-    hit = ts.traj_ref == c
-    rel2 = jax.vmap(lambda r: lie.se3_compose(r, rel_cp))(ts.traj_rel)
-    ts = ts._replace(
-        traj_rel=jnp.where(hit[:, None], rel2, ts.traj_rel),
-        traj_ref=jnp.where(hit, parent, ts.traj_ref))
+    hit = ts.traj[:, 14].astype(jnp.int32) == c
+    rel2 = jax.vmap(lambda r: lie.se3_compose(r, rel_cp))(ts.traj[:, 7:14])
+    traj = ts.traj.at[:, 7:14].set(
+        jnp.where(hit[:, None], rel2, ts.traj[:, 7:14]))
+    traj = traj.at[:, 14].set(
+        jnp.where(hit, parent.astype(jnp.float32), traj[:, 14]))
+    ts = ts._replace(traj=traj)
     return state, ts
 
 

@@ -566,16 +566,18 @@ class SLAM:
 
         @jax.jit
         def rebuild(ts: TrackState, kf_pose):
-            ref = jnp.clip(ts.traj_ref, 0, None)
-            Tcw = jax.vmap(lie.se3_compose)(ts.traj_rel, kf_pose[ref])
+            ref_f = ts.traj[:, 14]
+            ref = jnp.clip(ref_f.astype(jnp.int32), 0, None)
+            Tcw = jax.vmap(lie.se3_compose)(ts.traj[:, 7:14], kf_pose[ref])
             Twc = jax.vmap(lie.se3_inverse)(Tcw)
             return Tcw, Twc
 
         Tcw, Twc = rebuild(self.ts, self.state.kf_pose)
         Tcw, Twc = np.asarray(Tcw), np.asarray(Twc)
-        ok = np.asarray(self.ts.traj_ok) & (np.asarray(self.ts.traj_ref) >= 0)
+        traj = np.asarray(self.ts.traj)
+        ok = (traj[:, 15] > 0.5) & (traj[:, 14] >= 0)
         ok[self.frame_count:] = False
-        t = np.asarray(self.ts.traj_t)
+        t = traj[:, 16]
         return [(t[i], Tcw[i], Twc[i]) for i in np.nonzero(ok)[0]]
 
     def poses_twc(self) -> np.ndarray:

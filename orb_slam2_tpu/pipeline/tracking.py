@@ -62,12 +62,11 @@ class TrackState(NamedTuple):
     map_stage: jnp.ndarray    # i32 next stage to run
     ba_lam: jnp.ndarray       # f32 LM damping carried across BA chunks
     # device-side trajectory log (downloaded once at export time; avoids the
-    # per-frame device->host sync that dominates through the TPU tunnel)
-    traj_T: jnp.ndarray       # [F, 7] per-frame Tcw
-    traj_rel: jnp.ndarray     # [F, 7] Tcr relative to reference KF
-    traj_ref: jnp.ndarray     # [F] i32 reference KF id
-    traj_ok: jnp.ndarray      # [F] bool frame tracked
-    traj_t: jnp.ndarray       # [F] f32 timestamps
+    # per-frame device->host sync that dominates through the TPU tunnel).
+    # ONE packed [F, 17] f32 array — cols 0:7 Tcw, 7:14 Tcr (relative to
+    # the reference KF), 14 ref KF id, 15 ok flag, 16 timestamp — so the
+    # per-frame log costs ONE scatter instead of five
+    traj: jnp.ndarray         # [F, 17] f32
 
 
 def empty_track_state(cfg: SLAMConfig) -> TrackState:
@@ -99,11 +98,8 @@ def empty_track_state(cfg: SLAMConfig) -> TrackState:
         map_kf=jnp.asarray(-1, jnp.int32),
         map_stage=jnp.asarray(0, jnp.int32),
         ba_lam=jnp.asarray(1e-4, jnp.float32),
-        traj_T=jnp.zeros((cfg.cap.max_frames, 7), jnp.float32).at[:, 0].set(1.0),
-        traj_rel=jnp.zeros((cfg.cap.max_frames, 7), jnp.float32).at[:, 0].set(1.0),
-        traj_ref=jnp.full((cfg.cap.max_frames,), -1, jnp.int32),
-        traj_ok=jnp.zeros((cfg.cap.max_frames,), bool),
-        traj_t=jnp.zeros((cfg.cap.max_frames,), jnp.float32),
+        traj=jnp.zeros((cfg.cap.max_frames, 17), jnp.float32)
+        .at[:, 0].set(1.0).at[:, 7].set(1.0).at[:, 14].set(-1.0),
     )
 
 
@@ -112,15 +108,15 @@ def record_traj(state: MapState, ts: TrackState, frame: Frame,
     """Log this frame's pose on device (reference trajectory bookkeeping,
     Tracking.cc:488-504: store Tcr = Tcw * Twr so later KF optimization
     benefits exported frames)."""
-    i = jnp.clip(frame.frame_id, 0, ts.traj_T.shape[0] - 1)
+    i = jnp.clip(frame.frame_id, 0, ts.traj.shape[0] - 1)
     ref = jnp.clip(ts.ref_kf, 0, None)
     rel = lie.se3_compose(ts.T, lie.se3_inverse(state.kf_pose[ref]))
-    return ts._replace(
-        traj_T=ts.traj_T.at[i].set(ts.T),
-        traj_rel=ts.traj_rel.at[i].set(rel),
-        traj_ref=ts.traj_ref.at[i].set(ts.ref_kf),
-        traj_ok=ts.traj_ok.at[i].set(ok),
-        traj_t=ts.traj_t.at[i].set(frame.timestamp))
+    row = jnp.concatenate([
+        ts.T, rel,
+        jnp.stack([ts.ref_kf.astype(jnp.float32),
+                   jnp.asarray(ok, jnp.float32).reshape(()),
+                   jnp.asarray(frame.timestamp, jnp.float32).reshape(())])])
+    return ts._replace(traj=ts.traj.at[i].set(row))
 
 
 # ---------------------------------------------------------------------------
